@@ -1,0 +1,187 @@
+"""YAML-backed attribute-style configuration.
+
+Capability parity with the reference's `lib/config.py` (`Config.from_yaml`,
+attribute access, nested-dict recursion, `update`, `save_yaml`) plus a typed
+default table so configs may omit keys. Keys are reference-compatible
+(`configs.yaml` from the reference loads unchanged).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+# Defaults mirror the reference configs.yaml (see /root/reference/configs.yaml)
+# with TPU-specific additions at the bottom.
+_DEFAULTS: Dict[str, Any] = {
+    "model_id": "pggan",
+    "use_mGPU": False,
+    "use_wandb": False,
+    "wandb_alert_thres": 1000,
+    "use_validation": False,
+    "valid_dataset_root": None,
+    "dataset_root_list": [],
+    "save_root": "train_result",
+    # optimizer
+    "lr_G": 1e-4,
+    "lr_D": 1e-5,
+    "beta1": 0.0,
+    "beta2": 0.99,
+    "adam_eps": 1e-8,
+    # loss weights
+    "W_adv": 1.0,
+    "W_gp": 10.0,
+    "W_drift_D": 0.001,
+    # loss mode: 'r1' (reference's active path: BCE + R1 on reals) or
+    # 'wgangp' (BCE + eps-interpolated gradient penalty + drift; the
+    # reference's latent path, pggan/loss.py:54-100, with its no-gradient
+    # `.item()` bug fixed).
+    "loss_mode": "r1",
+    # hyperparameters
+    "batch_per_gpu": 16,
+    "max_step": 2_000_000,
+    # log cycles
+    "loss_cycle": 10,
+    "test_cycle": 1000,
+    "ckpt_cycle": 10000,
+    # model
+    "latent_dim": 512,
+    "input_dim": 3,
+    "output_dim": 3,
+    "init_bias_to_zero": True,
+    "max_depths": 7,
+    "depths": [512, 512, 512, 512, 256, 128, 64],
+    # schedule
+    "max_step_at_scale": [10000, 20000, 40000, 80000, 80000, 80000, 80000, 80000, 80000],
+    "alpha": 0.0,
+    "alpha_jump_start": [-1, 2000, 4000, 10000, 10000, 10000, 10000, 10000, 10000],
+    "alpha_jump_interval": [0, 100, 100, 100, 100, 100, 100, 100, 100],
+    "alpha_jump_Ntimes": [0, 100, 200, 400, 400, 400, 400, 400, 400],
+    # activation / normalization
+    "LReLU_slope": 0.2,
+    "generator_last_activation": None,
+    "apply_pixel_norm": True,
+    "apply_minibatch_norm": True,
+    "equalized_lr": True,
+    "decision_layer_size": 1,
+    # checkpoint
+    "ckpt_id": None,
+    "ckpt_step": None,
+    # ---- TPU-native additions ----
+    "seed": 42,
+    "compute_dtype": "float32",       # 'float32' | 'bfloat16' (activations/convs)
+    "impl": "xla",                    # 'xla' (pure jnp, XLA-fused) | 'pallas'
+    "data_backend": "auto",           # 'auto' | 'folder' | 'synthetic'
+    "synthetic_dataset_size": 4096,
+    "num_data_workers": 8,
+    "prefetch_depth": 2,
+    # per-scale batch override: dict {scale_index: global_batch}; None → use
+    # batch_per_gpu * num_devices at every scale.
+    "batch_schedule": None,
+    "donate_buffers": True,
+}
+
+
+class Config:
+    """Attribute-style config object over a plain dict.
+
+    Mirrors reference `lib/config.py:5-81` behavior (attribute get/set,
+    nested Config recursion, `update`, dict protocol) without replicating
+    its quirks.
+    """
+
+    def __init__(self, dict_config: Optional[Dict[str, Any]] = None, *, use_defaults: bool = True):
+        if use_defaults:
+            object.__setattr__(self, "_store", copy.deepcopy(_DEFAULTS))
+        else:
+            object.__setattr__(self, "_store", {})
+        if dict_config:
+            self.set_attribute(dict_config)
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def from_yaml(path: str) -> "Config":
+        with open(path, "r") as stream:
+            raw = yaml.safe_load(stream) or {}
+        return Config(raw)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        return Config(d)
+
+    @staticmethod
+    def get_empty() -> "Config":
+        return Config(use_defaults=False)
+
+    # -- dict protocol -------------------------------------------------------
+    def keys(self):
+        return self._store.keys()
+
+    def __getitem__(self, key):
+        return self._store[key]
+
+    def __setitem__(self, key, value):
+        self._store[key] = value
+
+    def __delitem__(self, key):
+        del self._store[key]
+
+    def __contains__(self, key):
+        return key in self._store
+
+    def __len__(self):
+        return len(self._store)
+
+    def __repr__(self):
+        return f"Config({self._store!r})"
+
+    # -- attribute protocol --------------------------------------------------
+    def __getattr__(self, item):
+        store = object.__getattribute__(self, "_store")
+        if item in store:
+            return store[item]
+        raise AttributeError(f"Config has no key {item!r}")
+
+    def __setattr__(self, key, value):
+        self.set_attribute({key: value})
+
+    def set_attribute(self, dict_config: Dict[str, Any]):
+        for key, value in dict_config.items():
+            if isinstance(value, dict):
+                self._store[key] = Config(value, use_defaults=False)
+            else:
+                self._store[key] = value
+
+    def update(self, other):
+        """Recursive merge (reference `lib/config.py:63-71`)."""
+        items = other.items() if isinstance(other, dict) else (
+            (k, other[k]) for k in other.keys())
+        for key, value in items:
+            if key in self._store and isinstance(value, Config) and isinstance(self._store[key], Config):
+                self._store[key].update(value)
+            else:
+                self._store[key] = value
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {}
+        for key, value in self._store.items():
+            out[key] = value.to_dict() if isinstance(value, Config) else value
+        return out
+
+    # -- persistence ---------------------------------------------------------
+    def save_yaml(self, path: str):
+        """Snapshot the (current, merged) config into the run directory.
+
+        Unlike the reference (which shutil-copies the source yaml,
+        `lib/config.py:15-16`), we serialize the effective config so resumed
+        runs record overrides too.
+        """
+        run_dir = os.path.join(str(self.save_root), str(self.run_id))
+        os.makedirs(run_dir, exist_ok=True)
+        out_path = os.path.join(run_dir, f"config_{self.run_id}.yaml")
+        with open(out_path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+        return out_path

@@ -1,0 +1,164 @@
+"""Progressive generator as a pure function of a parameter pytree.
+
+Architecture parity with the reference `pggan/nets.py:10-161`:
+
+  latent [B, latent_dim]
+    → PixelNorm (`nets.py:124-125`)
+    → EqualizedLinear(latent_dim → 16 * depths[0]) + LReLU (`nets.py:129`)
+    → reshape [B, 4, 4, depths[0]] + PixelNorm (`nets.py:130-133`)
+    → first block: EqConv3x3 + LReLU + PixelNorm (single conv — the
+      `is_first=True` branch of `lib/blocks.py:119-141`)
+    → per grown block i (1..scale): nearest upscale ×2, then
+      2 × [EqConv3x3 + LReLU + PixelNorm] (`lib/blocks.py:143-149`)
+    → toRGB 1x1 conv per scale (`lib/blocks.py:153-170`)
+    → fade-in blend in RGB domain: (1-α)·upscale(toRGB[-2](penultimate))
+      + α·toRGB[-1](x) (`nets.py:140-156`)
+
+TPU-native differences: NHWC layout, static graph per scale (growth is
+pytree surgery between jitted steps, not module mutation), and parameters
+live in a plain nested dict so `jax.grad`/optax/checkpointing compose.
+
+Block i (1-indexed) has channel depth `depths[i]`; the first 4×4 block has
+`depths[0]` (matching `pggan/model.py:163-164` growth order; the reference's
+checkpoint-restore off-by-one, `pggan/model.py:89-91`, is NOT replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.basic import blend, leaky_relu, pixel_norm, upscale2d
+from pggan_tpu.ops.equalized import (
+    equalized_conv2d,
+    equalized_linear,
+    init_conv_params,
+    init_linear_params,
+)
+
+# RNG component-id namespaces (stable across growth).
+_KEY_FORMAT = 0
+_KEY_FIRST = 1
+_KEY_BLOCK = 100     # + block index (1-based)
+_KEY_TORGB = 200     # + scale index (0-based)
+
+
+def _block_key(rng: jax.Array, index: int) -> jax.Array:
+    return jax.random.fold_in(rng, _KEY_BLOCK + index)
+
+
+def _torgb_key(rng: jax.Array, index: int) -> jax.Array:
+    return jax.random.fold_in(rng, _KEY_TORGB + index)
+
+
+def init_generator_params(rng: jax.Array, *, latent_dim: int,
+                          depths: Sequence[int], scale: int = 0,
+                          output_dim: int = 3, equalized_lr: bool = True,
+                          init_bias_to_zero: bool = True) -> Dict[str, Any]:
+    """Build the full generator pytree for `scale` grown blocks.
+
+    RNG keys are derived per component id, so
+    `init_generator_params(rng, scale=s)` is a strict prefix of
+    `init_generator_params(rng, scale=s+1)` — growth and fresh init agree.
+    """
+    kw = dict(equalized=equalized_lr, init_bias_to_zero=init_bias_to_zero)
+    d0 = depths[0]
+    params: Dict[str, Any] = {
+        "format": init_linear_params(
+            jax.random.fold_in(rng, _KEY_FORMAT), latent_dim, 16 * d0, **kw),
+        "first_conv": init_conv_params(
+            jax.random.fold_in(rng, _KEY_FIRST), d0, d0, 3, **kw),
+        "blocks": [],
+        "torgb": [init_conv_params(_torgb_key(rng, 0), d0, output_dim, 1, **kw)],
+    }
+    for i in range(1, scale + 1):
+        params = grow_generator_params(
+            params, rng, depths=depths, output_dim=output_dim,
+            equalized_lr=equalized_lr, init_bias_to_zero=init_bias_to_zero)
+    return params
+
+
+def grow_generator_params(params: Dict[str, Any], rng: jax.Array, *,
+                          depths: Sequence[int], output_dim: int = 3,
+                          equalized_lr: bool = True,
+                          init_bias_to_zero: bool = True) -> Dict[str, Any]:
+    """Append one scale: a new [conv0, conv1] block and its toRGB head.
+
+    Pure pytree surgery — the functional analog of `Generator.add_block`
+    (`pggan/nets.py:102-119`). Existing leaves are reused by reference.
+    """
+    kw = dict(equalized=equalized_lr, init_bias_to_zero=init_bias_to_zero)
+    index = len(params["blocks"]) + 1          # 1-based block index
+    prev_depth = depths[index - 1]
+    new_depth = depths[index]
+    k = _block_key(rng, index)
+    block = {
+        "conv0": init_conv_params(jax.random.fold_in(k, 0), prev_depth, new_depth, 3, **kw),
+        "conv1": init_conv_params(jax.random.fold_in(k, 1), new_depth, new_depth, 3, **kw),
+    }
+    return {
+        "format": params["format"],
+        "first_conv": params["first_conv"],
+        "blocks": list(params["blocks"]) + [block],
+        "torgb": list(params["torgb"]) + [
+            init_conv_params(_torgb_key(rng, index), new_depth, output_dim, 1, **kw)],
+    }
+
+
+def generator_apply(params: Dict[str, Any], latent: jax.Array,
+                    alpha: jax.Array, *, slope: float = 0.2,
+                    apply_pixel_norm: bool = True,
+                    last_activation: Optional[str] = None,
+                    compute_dtype=jnp.float32,
+                    impl: str = "xla") -> jax.Array:
+    """Forward pass. Returns NHWC images in [-1, 1] (no last activation by
+    default, matching `generator_last_activation: null` in configs.yaml).
+
+    `alpha` is a traced scalar — fade-in progress never triggers a retrace.
+    The number of grown blocks is static (pytree structure), so each scale
+    compiles its own XLA program.
+    """
+    scale = len(params["blocks"])
+    d0 = params["first_conv"]["w"].shape[2]
+    x = latent.astype(compute_dtype)
+
+    def pn(v):
+        return pixel_norm(v, impl=impl) if apply_pixel_norm else v
+
+    x = pn(x)
+    x = leaky_relu(equalized_linear(params["format"], x, compute_dtype=compute_dtype), slope)
+    # torch reshapes NCHW-major ([B, C, 4, 4]); transpose keeps the exact
+    # weight<->pixel mapping so golden-parity tests can port torch weights.
+    x = x.reshape(-1, d0, 4, 4).transpose(0, 2, 3, 1)
+    x = pn(x)
+
+    # First (4x4) block: single conv.
+    x = pn(leaky_relu(equalized_conv2d(params["first_conv"], x, compute_dtype=compute_dtype), slope))
+
+    penultimate = x
+    for i, block in enumerate(params["blocks"]):
+        penultimate = x
+        x = upscale2d(x)
+        x = pn(leaky_relu(equalized_conv2d(block["conv0"], x, compute_dtype=compute_dtype), slope))
+        x = pn(leaky_relu(equalized_conv2d(block["conv1"], x, compute_dtype=compute_dtype), slope))
+
+    out = equalized_conv2d(params["torgb"][-1], x, compute_dtype=compute_dtype)
+    if scale >= 1:
+        x_up = upscale2d(equalized_conv2d(params["torgb"][-2], penultimate,
+                                          compute_dtype=compute_dtype))
+        out = blend(x_up, out, alpha)
+
+    if last_activation == "tanh":
+        out = jnp.tanh(out)
+    elif last_activation == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    elif last_activation not in (None, "", "none", "linear"):
+        raise ValueError(f"unsupported last activation {last_activation!r}")
+    return out
+
+
+def generator_output_resolution(params: Dict[str, Any]) -> int:
+    """Side length of the generated image: 4 · 2^scale (`nets.py:95-100`)."""
+    return 4 * (2 ** len(params["blocks"]))

@@ -1,0 +1,164 @@
+"""upfirdn2d-family resampling ops (NHWC).
+
+Capability parity with the vendored NVIDIA op
+(`submodel/stylegan2/torch_utils/ops/upfirdn2d.py`): pad → zero-insertion
+upsample → FIR filter → decimate, plus the `setup_filter` / `filter2d` /
+`upsample2d` / `downsample2d` wrappers. On TPU the idiomatic implementation
+is a single `lax.conv_general_dilated` with `lhs_dilation` (upsample),
+window stride (downsample) and explicit padding — XLA lowers this straight
+onto the MXU/VPU with the zero-insertion folded into the convolution,
+which is what the hand-written CUDA kernel does manually.
+
+Everything here is arbitrarily differentiable (conv transpose rules), so
+the reference's custom autograd (`upfirdn2d.py:217-273`) dissolves.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PadT = Union[int, Sequence[int]]
+
+
+def _parse_scaling(s) -> Tuple[int, int]:
+    if isinstance(s, int):
+        return s, s
+    sx, sy = s
+    return int(sx), int(sy)
+
+
+def _parse_padding(p: _PadT) -> Tuple[int, int, int, int]:
+    if isinstance(p, int):
+        return p, p, p, p
+    p = list(p)
+    if len(p) == 2:
+        px, py = p
+        return px, px, py, py
+    x0, x1, y0, y1 = p
+    return x0, x1, y0, y1
+
+
+def setup_filter(f, *, normalize: bool = True, flip_filter: bool = False,
+                 gain: float = 1.0, separable: Optional[bool] = None) -> jnp.ndarray:
+    """Convert to a 2D float32 FIR filter (`upfirdn2d.py:70-114`).
+
+    None → identity [1]. 1D input is outer-producted to 2D unless
+    `separable` (we always densify to 2D; filters here are tiny).
+    """
+    if f is None:
+        f = 1
+    f = jnp.asarray(f, dtype=jnp.float32)
+    if f.ndim == 0:
+        f = f[None]
+    assert f.ndim in (1, 2)
+    if separable is None:
+        separable = f.ndim == 1 and f.size >= 8
+    if f.ndim == 1 and not separable:
+        f = jnp.outer(f, f)
+    if normalize:
+        f = f / jnp.sum(f)
+    if flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    f = f * (gain ** (f.ndim / 2.0))
+    return f
+
+
+def upfirdn2d(x: jax.Array, f: Optional[jax.Array], *, up: int = 1,
+              down: int = 1, padding: _PadT = 0, flip_filter: bool = False,
+              gain: float = 1.0) -> jax.Array:
+    """Upsample (zero-insert), pad, FIR-filter, downsample. NHWC.
+
+    Matches `_upfirdn2d_ref` (`upfirdn2d.py:167-211`) including the
+    filter-flip convention: by default the filter is applied as
+    *correlation* (flipped conv), `flip_filter=True` applies it as
+    convolution.
+    """
+    n, h, w, c = x.shape
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+
+    if f is None:
+        f = jnp.ones((1, 1), dtype=jnp.float32)
+    if f.ndim == 1:
+        f = jnp.outer(f, f)
+    fh, fw = f.shape
+
+    # Reference applies gain * up^2 to preserve signal magnitude
+    # (`upfirdn2d.py:191`, gain=up**2 in _upsample wrappers handled by
+    # callers; here raw `gain` only — wrappers below add up**2).
+    eff = f * gain
+    if not flip_filter:
+        eff = jnp.flip(eff, axis=(0, 1))
+    # Depthwise kernel [fh, fw, 1, 1] with feature_group_count=C.
+    kernel = jnp.tile(eff[:, :, None, None].astype(x.dtype), (1, 1, 1, c))
+    kernel = kernel.reshape(fh, fw, 1, c)
+
+    # Negative pads are crops; lax.conv supports negative explicit padding.
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(downy, downx),
+        padding=((pady0, pady1), (padx0, padx1)),
+        lhs_dilation=(upy, upx),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
+
+
+def filter2d(x: jax.Array, f: jax.Array, *, padding: _PadT = 0,
+             flip_filter: bool = False, gain: float = 1.0) -> jax.Array:
+    """FIR-filter NHWC, keeping resolution (`upfirdn2d.py:277-311`)."""
+    fh, fw = (f.shape[0], f.shape[0]) if f.ndim == 1 else f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    px0 += (fw - 1) // 2
+    px1 += fw // 2
+    py0 += (fh - 1) // 2
+    py1 += fh // 2
+    return upfirdn2d(x, f, padding=(px0, px1, py0, py1),
+                     flip_filter=flip_filter, gain=gain)
+
+
+def upsample2d(x: jax.Array, f: Optional[jax.Array] = None, *, up: int = 2,
+               padding: _PadT = 0, flip_filter: bool = False,
+               gain: float = 1.0) -> jax.Array:
+    """Filtered 2x upsample (`upfirdn2d.py:313-350`)."""
+    upx, upy = _parse_scaling(up)
+    if f is None:
+        f = jnp.ones((1, 1), dtype=jnp.float32)
+    if f.ndim == 1:
+        fh = fw = f.shape[0]
+    else:
+        fh, fw = f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    px0 += (fw + upx - 1) // 2
+    px1 += (fw - upx) // 2
+    py0 += (fh + upy - 1) // 2
+    py1 += (fh - upy) // 2
+    return upfirdn2d(x, f, up=up, padding=(px0, px1, py0, py1),
+                     flip_filter=flip_filter, gain=gain * upx * upy)
+
+
+def downsample2d(x: jax.Array, f: Optional[jax.Array] = None, *, down: int = 2,
+                 padding: _PadT = 0, flip_filter: bool = False,
+                 gain: float = 1.0) -> jax.Array:
+    """Filtered 2x downsample (`upfirdn2d.py:352-387`)."""
+    downx, downy = _parse_scaling(down)
+    if f is None:
+        f = jnp.ones((downy, downx), dtype=jnp.float32) / (downx * downy)
+    if f.ndim == 1:
+        fh = fw = f.shape[0]
+    else:
+        fh, fw = f.shape
+    px0, px1, py0, py1 = _parse_padding(padding)
+    px0 += (fw - downx + 1) // 2
+    px1 += (fw - downx) // 2
+    py0 += (fh - downy + 1) // 2
+    py1 += (fh - downy) // 2
+    return upfirdn2d(x, f, down=down, padding=(px0, px1, py0, py1),
+                     flip_filter=flip_filter, gain=gain)

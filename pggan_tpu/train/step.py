@@ -1,0 +1,185 @@
+"""The fused PGGAN train step: D update then G update in ONE jitted graph.
+
+Semantics mirror `ProgressiveGAN.train_step` (`pggan/model.py:206-255`):
+
+  1. real fade-in at scale > 0: avgpool ×2 → nearest-up ×2 →
+     (1-α)·low + α·real (`pggan/model.py:217-221`)
+  2. D phase: pred_real = D(real·faded); fake = stop_grad(G(z₁));
+     pred_fake = D(fake); loss_D per loss mode; Adam step on D
+  3. G phase (against the **updated** D, as in the reference where
+     opt_D.step() precedes the G forward): fake₂ = G(z₂);
+     loss_G = W_adv · BCE(D(fake₂), 1); Adam step on G
+
+TPU-native design: the whole iteration — both grad computations including
+the R1/GP grad-of-grad, both optimizer updates, and the latent sampling —
+is one XLA program per scale. `alpha` is a traced scalar (fade-in never
+recompiles); `scale_index` is Python-static (one compiled program per
+scale, swapped at scale jumps — the static-graph replacement for the
+reference's dynamic `add_block` module mutation).
+
+Under a multi-device mesh the same jitted function runs SPMD: the batch is
+sharded on the `data` axis, parameters are replicated, and XLA inserts the
+gradient all-reduce — the *correct* data parallelism the reference's DDP
+wrap silently dropped (`lib/model.py:78-79` takes `.module`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pggan_tpu.losses.gan import (
+    bce_with_logits,
+    drift_loss,
+    generator_loss,
+    gradient_penalty,
+    r1_penalty,
+)
+from pggan_tpu.models.discriminator import discriminator_apply
+from pggan_tpu.models.generator import generator_apply
+from pggan_tpu.ops.basic import blend, downscale2d, upscale2d
+
+
+class TrainState(NamedTuple):
+    params_G: Any
+    params_D: Any
+    opt_state_G: Any
+    opt_state_D: Any
+    rng: jax.Array
+
+
+def make_optimizers(cfg) -> Tuple[optax.GradientTransformation,
+                                  optax.GradientTransformation]:
+    """Adam pair with the reference hyperparameters
+    (`lib/model.py:95-97`, configs.yaml: lr_G=1e-4, lr_D=1e-5, β=(0,0.99)).
+    Fresh optimizer state is created at every scale jump, matching
+    `reset_solver` (`pggan/model.py:131-139`)."""
+    opt_g = optax.adam(cfg.lr_G, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    opt_d = optax.adam(cfg.lr_D, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    return opt_g, opt_d
+
+
+def init_train_state(rng: jax.Array, params_G, params_D,
+                     opt_g: optax.GradientTransformation,
+                     opt_d: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params_G=params_G,
+        params_D=params_D,
+        opt_state_G=opt_g.init(params_G),
+        opt_state_D=opt_d.init(params_D),
+        rng=rng,
+    )
+
+
+def _normalize_images(img: jax.Array) -> jax.Array:
+    """uint8 [0,255] → float32 [-1,1] on device (ToTensor+Normalize(.5,.5),
+    `lib/dataset.py:108-111`, moved device-side to cut host→HBM traffic 4×)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 127.5 - 1.0
+    return img.astype(jnp.float32)
+
+
+def make_train_step(cfg, scale_index: int,
+                    opt_g: optax.GradientTransformation,
+                    opt_d: optax.GradientTransformation,
+                    *, jit: bool = True):
+    """Build the fused step for one progressive scale.
+
+    Returns step(state, img_real, alpha) -> (state, metrics, images) where
+    `images = (img_real_faded, img_fake)` feeds the periodic sample grid
+    (`train.py:56-57` in the reference).
+    """
+    latent_dim = int(cfg.latent_dim)
+    slope = float(cfg.LReLU_slope)
+    apply_pn = bool(cfg.apply_pixel_norm)
+    apply_mbn = bool(cfg.apply_minibatch_norm)
+    last_act = cfg.generator_last_activation
+    w_adv = float(cfg.W_adv)
+    w_gp = float(cfg.W_gp)
+    w_drift = float(cfg.W_drift_D)
+    loss_mode = str(cfg.loss_mode)
+    r1_target = str(cfg["r1_target"]) if "r1_target" in cfg else "logits"
+    impl = str(cfg.impl)
+    compute_dtype = jnp.bfloat16 if str(cfg.compute_dtype) == "bfloat16" else jnp.float32
+
+    def g_apply(params, z, alpha):
+        return generator_apply(
+            params, z, alpha, slope=slope, apply_pixel_norm=apply_pn,
+            last_activation=last_act, compute_dtype=compute_dtype, impl=impl)
+
+    def d_apply(params, img, alpha):
+        return discriminator_apply(
+            params, img, alpha, slope=slope, apply_minibatch_norm=apply_mbn,
+            compute_dtype=compute_dtype, impl=impl)
+
+    def step(state: TrainState, img_real: jax.Array, alpha: jax.Array):
+        rng, k_z1, k_z2, k_eps = jax.random.split(state.rng, 4)
+        img_real = _normalize_images(img_real)
+        batch = img_real.shape[0]
+        alpha = jnp.asarray(alpha, jnp.float32)
+
+        # ---- real fade-in (pggan/model.py:217-221) ----
+        if scale_index > 0:
+            low = upscale2d(downscale2d(img_real, 2), 2)
+            img_real = blend(low, img_real, alpha)
+
+        # ---- D phase ----
+        z1 = jax.random.normal(k_z1, (batch, latent_dim), jnp.float32)
+        img_fake = jax.lax.stop_gradient(g_apply(state.params_G, z1, alpha))
+        eps = jax.random.uniform(k_eps, (batch,), jnp.float32)
+
+        def d_loss_fn(params_D):
+            d_fn = lambda im: d_apply(params_D, im, alpha)
+            pred_real = d_fn(img_real)
+            pred_fake = d_fn(img_fake)
+            l_real = bce_with_logits(pred_real, 1)
+            l_fake = bce_with_logits(pred_fake, 0)
+            metrics = {"L_D_real": l_real, "L_D_fake": l_fake}
+            if loss_mode == "r1":
+                reg = r1_penalty(d_fn, img_real, target=r1_target)
+                loss = l_real + l_fake + reg
+                metrics["L_D_r1"] = reg
+            elif loss_mode == "wgangp":
+                gp = gradient_penalty(d_fn, img_real, img_fake, eps, w_gp) if w_gp else 0.0
+                drift = drift_loss(pred_real, w_drift) if w_drift else 0.0
+                loss = l_real + l_fake + gp + drift
+                metrics["L_D_gp"] = gp
+                metrics["L_D_eps"] = drift
+            else:
+                raise ValueError(f"unknown loss mode {loss_mode!r}")
+            metrics["L_D"] = loss
+            return loss, metrics
+
+        (loss_d, metrics_d), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.params_D)
+        updates_d, opt_state_D = opt_d.update(grads_d, state.opt_state_D, state.params_D)
+        params_D = optax.apply_updates(state.params_D, updates_d)
+
+        # ---- G phase (uses updated D) ----
+        z2 = jax.random.normal(k_z2, (batch, latent_dim), jnp.float32)
+
+        def g_loss_fn(params_G):
+            fake2 = g_apply(params_G, z2, alpha)
+            pred_fake2 = d_apply(params_D, fake2, alpha)
+            loss = generator_loss(pred_fake2, w_adv)
+            return loss, fake2
+
+        (loss_g, img_fake2), grads_g = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_G)
+        updates_g, opt_state_G = opt_g.update(grads_g, state.opt_state_G, state.params_G)
+        params_G = optax.apply_updates(state.params_G, updates_g)
+
+        metrics = dict(metrics_d)
+        metrics["L_G"] = loss_g
+        new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D, rng)
+        images = (img_real, img_fake2.astype(jnp.float32))
+        return new_state, metrics, images
+
+    if jit:
+        donate = (0,) if cfg.donate_buffers else ()
+        return jax.jit(step, donate_argnums=donate)
+    return step

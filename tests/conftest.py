@@ -1,0 +1,29 @@
+"""Test environment: force CPU with 8 virtual devices.
+
+This is the TPU analog of "test multi-node without a cluster": the
+multi-chip sharding paths compile and execute on a virtual 8-device CPU
+mesh (SURVEY.md §4 implication (d)).
+
+NOTE: this image pre-imports jax at interpreter startup (sitecustomize)
+with JAX_PLATFORMS=axon latched, so setting os.environ here is too late
+for the platform choice — use jax.config.update instead, which takes
+effect as long as no backend has been initialized yet. XLA_FLAGS is read
+lazily at CPU-client creation, so the env var still works for the
+virtual-device count.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; got " + jax.default_backend())
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}")

@@ -1,0 +1,205 @@
+"""Unit tests for core ops against independent numpy golden math.
+
+Mirrors the reference's (latent) ref-vs-kernel dual-impl test pattern
+(`bias_act.py:83-86`) — here numpy is the golden and jnp/pallas are under
+test.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pggan_tpu.ops import (
+    pixel_norm, upscale2d, downscale2d, minibatch_stddev, bias_act,
+    equalized_conv2d, equalized_linear, init_conv_params, init_linear_params,
+    he_constant, upfirdn2d, setup_filter,
+)
+from pggan_tpu.ops.basic import leaky_relu, blend
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+class TestPixelNorm:
+    def test_matches_golden(self):
+        x = rand(2, 4, 4, 8)
+        got = np.asarray(pixel_norm(jnp.asarray(x)))
+        want = x / np.sqrt((x ** 2).mean(axis=-1, keepdims=True) + 1e-8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_2d_latent(self):
+        x = rand(3, 512, seed=1)
+        got = np.asarray(pixel_norm(jnp.asarray(x)))
+        want = x / np.sqrt((x ** 2).mean(axis=-1, keepdims=True) + 1e-8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_second_order_differentiable(self):
+        x = jnp.asarray(rand(2, 8))
+        f = lambda v: jnp.sum(pixel_norm(v) ** 2)
+        g = jax.grad(lambda v: jnp.sum(jax.grad(f)(v) ** 2))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestResample:
+    def test_upscale_nearest(self):
+        x = rand(1, 2, 2, 3)
+        got = np.asarray(upscale2d(jnp.asarray(x)))
+        assert got.shape == (1, 4, 4, 3)
+        # nearest repeat (lib/utils.py:106-118)
+        np.testing.assert_array_equal(got[0, 0, 0], x[0, 0, 0])
+        np.testing.assert_array_equal(got[0, 1, 1], x[0, 0, 0])
+        np.testing.assert_array_equal(got[0, 3, 2], x[0, 1, 1])
+
+    def test_downscale_avg(self):
+        x = rand(1, 4, 4, 2)
+        got = np.asarray(downscale2d(jnp.asarray(x)))
+        want = x.reshape(1, 2, 2, 2, 2, 2).mean(axis=(2, 4))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_down_then_up_is_fade_path(self):
+        x = rand(2, 8, 8, 3)
+        low = upscale2d(downscale2d(jnp.asarray(x)))
+        assert low.shape == x.shape
+
+    def test_upscale_factor1_identity(self):
+        x = jnp.asarray(rand(1, 4, 4, 2))
+        assert upscale2d(x, 1) is x
+        assert downscale2d(x, 1) is x
+
+
+class TestMinibatchStddev:
+    def golden(self, x, subgroup_size=4):
+        n, h, w, c = x.shape
+        sg = min(n, subgroup_size)
+        if n % sg != 0:
+            sg = n
+        if sg <= 1:
+            y = np.zeros((n, h, w, 1), np.float32)
+            return np.concatenate([x, y], axis=-1)
+        g = n // sg
+        y = x.reshape(g, sg, h, w, c)
+        var = y.var(axis=1, ddof=1)               # torch.var is unbiased
+        std = np.sqrt(var + 1e-8)
+        stat = std.mean(axis=(1, 2, 3))
+        y = np.repeat(stat, sg)[:, None, None, None] * np.ones((n, h, w, 1), np.float32)
+        return np.concatenate([x, y], axis=-1)
+
+    @pytest.mark.parametrize("batch", [1, 2, 4, 6, 8])
+    def test_matches_golden(self, batch):
+        x = rand(batch, 4, 4, 8, seed=batch)
+        got = np.asarray(minibatch_stddev(jnp.asarray(x)))
+        np.testing.assert_allclose(got, self.golden(x), rtol=1e-5, atol=1e-6)
+
+    def test_channel_count(self):
+        x = jnp.asarray(rand(4, 4, 4, 16))
+        assert minibatch_stddev(x).shape == (4, 4, 4, 17)
+
+    def test_second_order_differentiable(self):
+        x = jnp.asarray(rand(4, 2, 2, 3))
+        f = lambda v: jnp.sum(minibatch_stddev(v) ** 2)
+        g = jax.grad(lambda v: jnp.sum(jax.grad(f)(v) ** 2))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestEqualized:
+    def test_he_constant(self):
+        assert he_constant(512) == pytest.approx(np.sqrt(2.0 / 512))
+        assert he_constant(3 * 3 * 64) == pytest.approx(np.sqrt(2.0 / 576))
+
+    def test_conv_scale_applied_at_runtime(self):
+        rng = jax.random.PRNGKey(0)
+        p = init_conv_params(rng, 8, 16, 3)
+        # weights ~ N(0,1) at init (lib/layers.py:56-57)
+        w = np.asarray(p["w"])
+        assert abs(w.std() - 1.0) < 0.1
+        assert np.all(np.asarray(p["b"]) == 0)
+        assert float(p["scale"]) == pytest.approx(np.sqrt(2.0 / (8 * 9)))
+
+    def test_conv_golden(self):
+        rng = jax.random.PRNGKey(1)
+        p = init_conv_params(rng, 3, 4, 1)
+        x = rand(2, 5, 5, 3, seed=2)
+        got = np.asarray(equalized_conv2d(p, jnp.asarray(x)))
+        w = np.asarray(p["w"])[0, 0]              # [in, out] for 1x1
+        scale = float(p["scale"])
+        want = (x @ w) * scale                    # bias is 0
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_linear_golden(self):
+        rng = jax.random.PRNGKey(2)
+        p = init_linear_params(rng, 16, 8)
+        x = rand(3, 16, seed=3)
+        got = np.asarray(equalized_linear(p, jnp.asarray(x)))
+        want = (x @ np.asarray(p["w"])) * float(p["scale"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_scale_multiplies_bias_too(self):
+        # Reference applies the constant to conv OUTPUT including bias
+        # (lib/layers.py:58-62).
+        rng = jax.random.PRNGKey(3)
+        p = init_linear_params(rng, 4, 2)
+        p = dict(p, b=jnp.ones_like(p["b"]))
+        x = jnp.zeros((1, 4))
+        got = np.asarray(equalized_linear(p, x))
+        np.testing.assert_allclose(got, float(p["scale"]) * np.ones((1, 2)), rtol=1e-6)
+
+
+class TestBiasAct:
+    def test_lrelu_gain(self):
+        x = rand(2, 8)
+        b = rand(8, seed=9)
+        got = np.asarray(bias_act(jnp.asarray(x), jnp.asarray(b), act="lrelu"))
+        y = x + b
+        want = np.where(y >= 0, y, 0.2 * y) * np.sqrt(2.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_clamp(self):
+        x = jnp.asarray([[10.0, -10.0]])
+        got = np.asarray(bias_act(x, act="linear", clamp=1.0))
+        np.testing.assert_array_equal(got, [[1.0, -1.0]])
+
+    @pytest.mark.parametrize("act", ["linear", "relu", "lrelu", "tanh",
+                                     "sigmoid", "elu", "selu", "softplus", "swish"])
+    def test_all_activations_run(self, act):
+        x = jnp.asarray(rand(2, 4))
+        out = bias_act(x, act=act)
+        assert out.shape == x.shape
+
+
+class TestUpfirdn2d:
+    def test_identity(self):
+        x = jnp.asarray(rand(1, 4, 4, 2))
+        got = upfirdn2d(x, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-6)
+
+    def test_box_downsample_matches_downscale(self):
+        x = jnp.asarray(rand(1, 8, 8, 3))
+        f = setup_filter([1, 1])
+        got = np.asarray(upfirdn2d(x, f, down=2))
+        want = np.asarray(downscale2d(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_zero_insert_upsample(self):
+        x = jnp.asarray(rand(1, 2, 2, 1))
+        got = np.asarray(upfirdn2d(x, jnp.ones((1, 1)), up=2, padding=(0, 1, 0, 1)))
+        assert got.shape == (1, 4, 4, 1)
+        np.testing.assert_allclose(got[0, 0, 0, 0], np.asarray(x)[0, 0, 0, 0], rtol=1e-6)
+        np.testing.assert_allclose(got[0, 0, 1, 0], 0.0, atol=1e-7)
+
+    def test_differentiable(self):
+        x = jnp.asarray(rand(1, 4, 4, 2))
+        f = setup_filter([1, 2, 1])
+        g = jax.grad(lambda v: jnp.sum(upfirdn2d(v, f, up=2) ** 2))(x)
+        assert g.shape == x.shape
+
+
+class TestBlend:
+    def test_formula(self):
+        a, b = jnp.ones((2, 2)), jnp.zeros((2, 2))
+        np.testing.assert_allclose(np.asarray(blend(a, b, 0.25)), 0.75)
+
+    def test_alpha_zero_is_old(self):
+        a, b = jnp.asarray(rand(2, 2)), jnp.asarray(rand(2, 2, seed=5))
+        np.testing.assert_allclose(np.asarray(blend(a, b, 0.0)), np.asarray(a))

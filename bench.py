@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip for full progressive GAN training at 256×256.
+
+Runs the fused train step (D update incl. R1 grad-of-grad + G update) at
+scale 6 — the reference's default max resolution (depths
+[512,512,512,512,256,128,64], configs.yaml:50) — with the reference batch
+of 16 per chip, on whatever devices are visible.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (README.md:22-24 stub), so
+the denominator is an analytical PyTorch-GPU estimate documented in
+BASELINE.md: the same step costs ~3.6 TFLOP per image-batch-16 step and
+torch 1.11 fp32 unfused convs on a V100-class GPU sustain ~10 TFLOP/s
+effective → ~45 images/sec/chip. See BASELINE.md for the derivation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 45.0   # analytical; see BASELINE.md
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", type=int, default=6)      # 256×256
+    parser.add_argument("--batch_per_chip", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
+    parser.add_argument("--alpha", type=float, default=0.7)
+    ns = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: the per-scale fused step compiles once
+    # per (scale, shape) ever, not once per process.
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_comp_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pggan_tpu.config import Config
+    from pggan_tpu.models import (init_discriminator_params,
+                                  init_generator_params)
+    from pggan_tpu.parallel import create_mesh, replicate, shard_batch
+    from pggan_tpu.train.step import (init_train_state, make_optimizers,
+                                      make_train_step)
+
+    depths = [512, 512, 512, 512, 256, 128, 64]
+    scale = ns.scale
+    res = 2 ** (scale + 2)
+    devices = jax.devices()
+    n_chips = len(devices)
+    batch = ns.batch_per_chip * n_chips
+
+    print(f"[bench] {n_chips} device(s) ({devices[0].platform}), scale {scale} "
+          f"({res}x{res}), global batch {batch}, {ns.compute_dtype}, "
+          f"{ns.loss_mode}", file=sys.stderr)
+
+    cfg = Config({
+        "depths": depths, "latent_dim": 512,
+        "compute_dtype": ns.compute_dtype, "loss_mode": ns.loss_mode,
+        "donate_buffers": True,
+    })
+    t_init = time.time()
+    rng = jax.random.PRNGKey(0)
+    kg, kd, ks = jax.random.split(rng, 3)
+    params_G = init_generator_params(kg, latent_dim=512, depths=depths, scale=scale)
+    params_D = init_discriminator_params(kd, depths=depths, scale=scale)
+    opt_g, opt_d = make_optimizers(cfg)
+    state = init_train_state(ks, params_G, params_D, opt_g, opt_d)
+    jax.block_until_ready(state)
+    print(f"[bench] param init {time.time()-t_init:.1f}s", file=sys.stderr)
+
+    mesh = create_mesh(devices=devices)
+    state = replicate(state, mesh)
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (batch, res, res, 3), dtype=np.uint8)
+    imgs = shard_batch(imgs, mesh)
+    alpha = jnp.float32(ns.alpha)
+
+    step = make_train_step(cfg, scale, opt_g, opt_d)
+
+    t0 = time.time()
+    for _ in range(ns.warmup):
+        state, metrics, _ = step(state, imgs, alpha)
+    jax.block_until_ready(state)
+    print(f"[bench] warmup+compile {time.time()-t0:.1f}s; "
+          f"L_D={float(metrics['L_D']):.3f}", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(ns.steps):
+        state, metrics, _ = step(state, imgs, alpha)
+    jax.block_until_ready(state)
+    elapsed = time.time() - t0
+
+    imgs_per_sec = batch * ns.steps / elapsed
+    per_chip = imgs_per_sec / n_chips
+    result = {
+        "metric": f"images/sec/chip, {res}x{res} progressive train step "
+                  f"(fused D+G, {ns.loss_mode}, {ns.compute_dtype})",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,8 @@
+from pggan_tpu.data.dataset import (  # noqa: F401
+    ImageFolderDataset,
+    SyntheticDataset,
+    list_image_paths,
+    split_dataset,
+    build_dataset,
+)
+from pggan_tpu.data.pipeline import DataPipeline  # noqa: F401

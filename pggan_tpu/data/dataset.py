@@ -1,0 +1,145 @@
+"""Datasets: folder-of-images (reference-compatible) and synthetic.
+
+Parity with `lib/dataset.py:86-127` (`UnsupervisedDataset`):
+  * recursive glob of `*.*g` files over every root in dataset_root_list
+    (`lib/dataset.py:91-99` — matches .jpg/.jpeg/.png)
+  * per-scale resize to 2**(scale_index+2) square (`:101`)
+  * augmentation: horizontal flip p=0.5, color jitter
+    (brightness 0.2, contrast 0.2, saturation 0.2, hue 0.01) (`:103-106`)
+  * normalize to [-1, 1] — we keep images uint8 on the host and do the
+    final normalize on device inside the jitted step (4× less host→HBM
+    traffic); semantics identical
+  * 70/30 train/valid split (`pggan/model.py:123-126`)
+
+Color-jitter follows torchvision semantics: each factor sampled
+U[max(0,1-v), 1+v] (hue U[-h, h]), applied in random order.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+_IMG_PATTERN = "*.*g"   # reference's glob (`lib/dataset.py:92`): jpg/jpeg/png
+
+
+def list_image_paths(dataset_root_list: Sequence[str]) -> List[str]:
+    """Recursive image listing, mirroring `lib/dataset.py:91-99`."""
+    paths: List[str] = []
+    for root in dataset_root_list:
+        paths.extend(glob.glob(os.path.join(root, _IMG_PATTERN)))
+        for sub_root, dirs, _ in os.walk(root):
+            for d in dirs:
+                paths.extend(glob.glob(os.path.join(sub_root, d, _IMG_PATTERN)))
+    return paths
+
+
+def _apply_color_jitter(img: Image.Image, rng: np.random.RandomState,
+                        brightness: float = 0.2, contrast: float = 0.2,
+                        saturation: float = 0.2, hue: float = 0.01) -> Image.Image:
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(("brightness", f))
+    if contrast > 0:
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(("contrast", f))
+    if saturation > 0:
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(("saturation", f))
+    if hue > 0:
+        f = rng.uniform(-hue, hue)
+        ops.append(("hue", f))
+    rng.shuffle(ops)
+    for name, f in ops:
+        if name == "brightness":
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif name == "contrast":
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif name == "saturation":
+            img = ImageEnhance.Color(img).enhance(f)
+        elif name == "hue":
+            hsv = np.array(img.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(round(f * 255))) % 256
+            img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+    return img
+
+
+class ImageFolderDataset:
+    """Folder-of-images dataset producing augmented uint8 NHWC samples."""
+
+    def __init__(self, dataset_root_list: Sequence[str], scale_index: int = 0,
+                 *, is_master: bool = False, augment: bool = True,
+                 paths: Optional[Sequence[str]] = None):
+        self.paths = list(paths) if paths is not None else list_image_paths(dataset_root_list)
+        if not self.paths:
+            raise FileNotFoundError(
+                f"no images found under {list(dataset_root_list)!r}")
+        self.resolution = 2 ** (scale_index + 2)
+        self.augment = augment
+        if is_master:
+            print(f"Dataset of {len(self)} images constructed for the training.")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
+        img = Image.open(self.paths[index % len(self.paths)]).convert("RGB")
+        # torchvision Resize((s, s)) default interpolation is bilinear.
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        if self.augment:
+            if rng.rand() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            img = _apply_color_jitter(img, rng)
+        return np.asarray(img, dtype=np.uint8)
+
+
+class SyntheticDataset:
+    """Deterministic random images — for smoke tests and benchmarking.
+
+    Each index maps to a fixed pseudo-random image (seeded by index), so
+    runs are reproducible and no filesystem is required.
+    """
+
+    def __init__(self, size: int = 4096, scale_index: int = 0, **_unused):
+        self.size = size
+        self.resolution = 2 ** (scale_index + 2)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
+        r = np.random.RandomState(index % self.size)
+        base = r.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        img = np.asarray(
+            Image.fromarray(base).resize((self.resolution, self.resolution),
+                                         Image.BILINEAR), dtype=np.uint8)
+        return img
+
+
+def split_dataset(n: int, train_frac: float = 0.7, seed: int = 42
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """70/30 random split of indices (reference `pggan/model.py:123-126`;
+    `round` semantics of the train count preserved)."""
+    n_train = int(round(n * train_frac))
+    perm = np.random.RandomState(seed).permutation(n)
+    return perm[:n_train], perm[n_train:]
+
+
+def build_dataset(cfg, scale_index: int, *, is_master: bool = False):
+    """Dataset factory honoring `data_backend`:
+    'auto' → folder if any dataset_root_list entries exist, else synthetic;
+    'folder' / 'synthetic' force a backend."""
+    backend = str(cfg.data_backend)
+    roots = list(cfg.dataset_root_list or [])
+    if backend == "auto":
+        backend = "folder" if any(os.path.isdir(r) for r in roots) else "synthetic"
+    if backend == "folder":
+        return ImageFolderDataset(roots, scale_index, is_master=is_master)
+    if backend == "synthetic":
+        return SyntheticDataset(int(cfg.synthetic_dataset_size), scale_index)
+    raise ValueError(f"unknown data backend {backend!r}")

@@ -1,0 +1,334 @@
+"""ProgressiveGANTrainer — the framework runtime.
+
+Orchestration parity with the reference's three-layer stack collapsed into
+one coherent runtime class:
+  * `ModelInterface` template methods (`lib/model.py`): set_dataset /
+    set_data_iterator / set_optimizers / set_loss_collector / save_image /
+    validation / checkpointing
+  * `ProgressiveGAN` trainer (`pggan/model.py`): schedule jumps, solver
+    resets, train_step, checkpoint of schedule state
+  * `train.py` driver loop: loss/test/ckpt cycles, wandb-style logging
+
+TPU-native structure: at any moment the trainer holds ONE compiled train
+step for the current scale. A scale jump performs, in order (matching
+`change_scale`, `pggan/model.py:158-174`):
+  1. grow G and D pytrees (depths[scale_index], fresh random leaves)
+  2. reset the data pipeline at the new resolution 2^(scale+2)
+  3. fresh Adam state (the reference discards moments at every jump)
+  4. build + jit the next scale's train step (compiles on first call)
+  5. reset alpha schedule
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pggan_tpu.config import Config
+from pggan_tpu.data import DataPipeline, build_dataset, split_dataset
+from pggan_tpu.losses.collector import LossCollector
+from pggan_tpu.models import (
+    grow_discriminator_params,
+    grow_generator_params,
+    init_discriminator_params,
+    init_generator_params,
+)
+from pggan_tpu.parallel import (
+    create_mesh,
+    global_batch_size,
+    replicate,
+    shard_batch,
+)
+from pggan_tpu.train.schedule import ProgressiveSchedule
+from pggan_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_optimizers,
+    make_train_step,
+)
+from pggan_tpu.utils import checkpoint as ckpt_lib
+from pggan_tpu.utils.image import save_image as save_image_grid
+from pggan_tpu.utils.logging import MetricLogger
+
+
+class ProgressiveGANTrainer:
+    """Create via `pggan_tpu.registry.create_model(cfg)` (the
+    `CreateModel` analog, `lib/model_loader.py:4-37`) or directly."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        # Single-process SPMD: "master" is process 0 (multi-host) — there
+        # is no per-GPU process hierarchy to manage (`lib/model_loader.py:5`).
+        self.is_master = jax.process_index() == 0
+        cfg.isMaster = self.is_master
+        self.mesh = create_mesh(cfg)
+        self.schedule = ProgressiveSchedule.from_config(cfg, verbose=self.is_master)
+        self.global_step = 0
+
+        seed = int(cfg.seed)
+        base = jax.random.PRNGKey(seed)
+        self._rng_G = jax.random.fold_in(base, 0)
+        self._rng_D = jax.random.fold_in(base, 1)
+        self._rng_state = jax.random.fold_in(base, 2)
+
+        self.state: Optional[TrainState] = None
+        self.loss_collector: Optional[LossCollector] = None
+        self.logger: Optional[MetricLogger] = None
+        self._step_fn = None
+        self._pipeline: Optional[DataPipeline] = None
+        self._valid_pipeline: Optional[DataPipeline] = None
+        self._train_indices = None
+        self._valid_indices = None
+
+    # -- construction sequence (lib/model_loader.py:13-21 order) -------------
+    def setup(self):
+        self.initialize_models()
+        self.set_optimizers()
+        self.set_dataset()
+        self.set_data_iterator()
+        self.set_loss_collector()
+        if self.cfg.ckpt_id is not None:
+            self.load_checkpoint()
+        self._build_step_fn()
+        return self
+
+    def initialize_models(self):
+        cfg = self.cfg
+        params_G = init_generator_params(
+            self._rng_G, latent_dim=cfg.latent_dim, depths=cfg.depths,
+            scale=self.schedule.scale_index, output_dim=cfg.output_dim,
+            equalized_lr=cfg.equalized_lr,
+            init_bias_to_zero=cfg.init_bias_to_zero)
+        params_D = init_discriminator_params(
+            self._rng_D, depths=cfg.depths, scale=self.schedule.scale_index,
+            input_dim=cfg.input_dim,
+            decision_layer_size=cfg.decision_layer_size,
+            apply_minibatch_norm=cfg.apply_minibatch_norm,
+            equalized_lr=cfg.equalized_lr,
+            init_bias_to_zero=cfg.init_bias_to_zero)
+        self._fresh_state(params_G, params_D, self._rng_state)
+
+    def _fresh_state(self, params_G, params_D, rng):
+        # NOTE: rng must be threaded explicitly — with donate_buffers the
+        # step invalidates every array in the previous TrainState, so any
+        # buffer captured at __init__ is dead after the first step.
+        self.opt_g, self.opt_d = make_optimizers(self.cfg)
+        state = init_train_state(jax.numpy.asarray(rng), params_G, params_D,
+                                 self.opt_g, self.opt_d)
+        self.state = replicate(state, self.mesh)
+
+    def set_optimizers(self):
+        """Fresh Adam state for the CURRENT params (`lib/model.py:95-97`;
+        called standalone it re-initializes moments like `reset_solver`)."""
+        if self.state is None:
+            return
+        self._fresh_state(self.state.params_G, self.state.params_D,
+                          self.state.rng)
+
+    def set_dataset(self):
+        """Dataset at the current scale's resolution + 70/30 split
+        (`pggan/model.py:118-126`)."""
+        self.dataset = build_dataset(self.cfg, self.schedule.scale_index,
+                                     is_master=self.is_master)
+        self._train_indices, self._valid_indices = split_dataset(
+            len(self.dataset), 0.7, seed=int(self.cfg.seed))
+
+    def set_data_iterator(self):
+        if self._pipeline is not None:
+            self._pipeline.close()
+        batch = self.local_batch_size
+        mesh = self.mesh
+        self._pipeline = DataPipeline(
+            self.dataset, batch,
+            indices=self._train_indices,
+            num_workers=int(self.cfg.num_data_workers),
+            prefetch_depth=int(self.cfg.prefetch_depth),
+            seed=int(self.cfg.seed) + self.schedule.scale_index,
+            shard_fn=lambda b: shard_batch(b, mesh))
+
+    def set_loss_collector(self):
+        max_step = min(sum(self.cfg.max_step_at_scale), self.cfg.max_step)
+        self.loss_collector = LossCollector(max_step)
+
+    @property
+    def local_batch_size(self) -> int:
+        """This host's share of the global batch."""
+        g = global_batch_size(self.cfg, self.mesh, self.schedule.scale_index)
+        return max(1, g // jax.process_count())
+
+    # -- schedule ------------------------------------------------------------
+    def check_jump(self, global_step: int) -> Dict[str, bool]:
+        jumps = self.schedule.check_jump(global_step)
+        if jumps["scale_jumped"]:
+            self._grow()
+        return jumps
+
+    def _grow(self):
+        """Scale jump: grow pytrees + reset solver + new compiled step
+        (`change_scale` + `reset_solver`, `pggan/model.py:131-174`)."""
+        cfg = self.cfg
+        params_G = grow_generator_params(
+            self.state.params_G, self._rng_G, depths=cfg.depths,
+            output_dim=cfg.output_dim, equalized_lr=cfg.equalized_lr,
+            init_bias_to_zero=cfg.init_bias_to_zero)
+        params_D = grow_discriminator_params(
+            self.state.params_D, self._rng_D, depths=cfg.depths,
+            input_dim=cfg.input_dim, equalized_lr=cfg.equalized_lr,
+            init_bias_to_zero=cfg.init_bias_to_zero)
+        self._fresh_state(params_G, params_D, self.state.rng)
+        self.set_dataset()
+        self.set_data_iterator()
+        self._build_step_fn()
+
+    def _build_step_fn(self):
+        self._step_fn = make_train_step(
+            self.cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
+
+    # -- the hot loop ---------------------------------------------------------
+    def load_next_batch(self):
+        return next(self._pipeline)
+
+    def train_step(self) -> Tuple[Any, Any]:
+        """One fused D+G iteration; returns (img_real_faded, img_fake) for
+        the periodic sample grid (`pggan/model.py:206-255`)."""
+        batch = self.load_next_batch()
+        alpha = jnp.float32(self.schedule.alpha)
+        self.state, metrics, images = self._step_fn(self.state, batch, alpha)
+        self._last_metrics = metrics
+        return images
+
+    def fit(self, run_id: Optional[str] = None, *, max_step: Optional[int] = None):
+        """The full training loop (`train.py:39-66`)."""
+        cfg = self.cfg
+        if run_id is not None:
+            cfg.run_id = run_id
+        if self.logger is None and self.is_master:
+            self.logger = MetricLogger(cfg.save_root, cfg.run_id,
+                                       model_id=cfg.model_id,
+                                       use_wandb=bool(cfg.use_wandb))
+        total = min(sum(cfg.max_step_at_scale), cfg.max_step)
+        if max_step is not None:
+            total = min(total, max_step)
+
+        step = self.global_step
+        while step < total:
+            self.check_jump(step)
+            images = self.train_step()
+
+            if self.is_master:
+                if step % cfg.loss_cycle == 0:
+                    self.loss_collector.update(self._last_metrics)
+                    self.logger.log(step, self.loss_collector.loss_dict)
+                    self.loss_collector.print_loss(step)
+                if step % cfg.test_cycle == 0:
+                    self.save_image(images, step)
+                    if cfg.use_validation:
+                        self.validation(step)
+                if step % cfg.ckpt_cycle == 0:
+                    self.save_checkpoint(step)
+            step += 1
+            self.global_step = step
+        if self.is_master:
+            self.save_checkpoint(step)
+        return self
+
+    # -- io -------------------------------------------------------------------
+    def save_image(self, images, step: int):
+        real, fake = images
+        save_image_grid(self.cfg.save_root, self.cfg.run_id, step, "imgs",
+                        [np.asarray(real), np.asarray(fake)])
+
+    def validation(self, step: int):
+        """Mean D logits on a held-out batch — the reference declares a
+        validation split then leaves `validation()` as `pass`
+        (`pggan/model.py:260-261`); this makes it real."""
+        if self._valid_indices is None or len(self._valid_indices) == 0:
+            return
+        if self._valid_pipeline is None:
+            self._valid_pipeline = DataPipeline(
+                self.dataset, self.local_batch_size,
+                indices=self._valid_indices, num_workers=2,
+                prefetch_depth=1, seed=7,
+                shard_fn=lambda b: shard_batch(b, self.mesh))
+        batch = next(self._valid_pipeline)
+        from pggan_tpu.models import discriminator_apply
+        logits = discriminator_apply(
+            self.state.params_D,
+            jnp.asarray(batch, jnp.float32) / 127.5 - 1.0,
+            jnp.float32(self.schedule.alpha),
+            slope=float(self.cfg.LReLU_slope),
+            apply_minibatch_norm=bool(self.cfg.apply_minibatch_norm))
+        if self.logger is not None:
+            self.logger.log(step, {"valid_D_real": float(jnp.mean(logits))})
+
+    def save_checkpoint(self, global_step: int):
+        """Params + optimizer state + schedule + args, per net
+        (`pggan/model.py:50-67`)."""
+        meta = {
+            "args": self.cfg.to_dict(),
+            "schedule": self.schedule.state_dict(),
+        }
+        for name, params, opt_state in (
+                ("G", self.state.params_G, self.state.opt_state_G),
+                ("D", self.state.params_D, self.state.opt_state_D)):
+            ckpt_lib.save_checkpoint(
+                self.cfg.save_root, self.cfg.run_id, name, global_step,
+                params=params, opt_state=opt_state, meta=meta)
+
+    def load_checkpoint(self):
+        """Restore args + schedule, re-grow both nets to the saved scale,
+        then load weights and optimizer moments (`pggan/model.py:70-101`,
+        with the depth off-by-one fixed: growth uses depths[1..s])."""
+        cfg = self.cfg
+        loaded = {}
+        for name in ("G", "D"):
+            result = ckpt_lib.load_checkpoint(
+                cfg.save_root, cfg.ckpt_id, name, cfg.ckpt_step)
+            if result is None:
+                raise FileNotFoundError(
+                    f"checkpoint {name} not found for ckpt_id={cfg.ckpt_id!r} "
+                    f"step={cfg.ckpt_step!r} under {cfg.save_root!r}")
+            loaded[name] = result
+
+    # args restore, preserving run-local keys (`lib/model_loader.py:26-31`)
+        meta = loaded["G"][2]
+        preserved = {k: cfg[k] for k in ("run_id", "dataset_root_list")
+                     if k in cfg}
+        cfg.update(meta.get("args", {}))
+        for k, v in preserved.items():
+            cfg[k] = v
+        cfg.isMaster = self.is_master
+
+        self.schedule.load_state_dict(meta["schedule"])
+        self.global_step = int(meta["global_step"])
+
+        # Re-grow to the saved scale, then rebuild solver state.
+        self.initialize_models()   # builds at schedule.scale_index directly
+        self.set_dataset()
+        self.set_data_iterator()
+
+        template_state = self.state
+        params_G = ckpt_lib.arrays_to_tree(template_state.params_G, loaded["G"][0])
+        params_D = ckpt_lib.arrays_to_tree(template_state.params_D, loaded["D"][0])
+        opt_G = ckpt_lib.arrays_to_tree(template_state.opt_state_G, loaded["G"][1])
+        opt_D = ckpt_lib.arrays_to_tree(template_state.opt_state_D, loaded["D"][1])
+        self.state = replicate(
+            TrainState(params_G, params_D, opt_G, opt_D, template_state.rng),
+            self.mesh)
+        if self.is_master:
+            print(f"checkpoint {cfg.ckpt_id}@{meta['global_step']} restored "
+                  f"(scale={self.schedule.scale_index}, "
+                  f"alpha={self.schedule.alpha})")
+
+    def close(self):
+        if self._pipeline is not None:
+            self._pipeline.close()
+        if self._valid_pipeline is not None:
+            self._valid_pipeline.close()
+        if self.logger is not None:
+            self.logger.close()

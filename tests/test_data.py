@@ -1,0 +1,120 @@
+"""Data pipeline tests: folder dataset, augmentation, split, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pggan_tpu.data import (
+    DataPipeline, ImageFolderDataset, SyntheticDataset,
+    list_image_paths, split_dataset, build_dataset,
+)
+from pggan_tpu import Config
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    root = tmp_path / "faces"
+    (root / "sub").mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        arr = rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img{i}.jpg")
+    for i in range(3):
+        arr = rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "sub" / f"sub{i}.png")
+    return str(root)
+
+
+class TestListing:
+    def test_recursive_glob(self, image_dir):
+        paths = list_image_paths([image_dir])
+        assert len(paths) == 9                    # 6 jpg + 3 png in subdir
+
+    def test_multiple_roots(self, image_dir):
+        paths = list_image_paths([image_dir, image_dir])
+        assert len(paths) == 18
+
+
+class TestFolderDataset:
+    def test_resolution_per_scale(self, image_dir):
+        for scale, res in ((0, 4), (1, 8), (2, 16)):
+            ds = ImageFolderDataset([image_dir], scale)
+            img = ds.get(0, np.random.RandomState(0))
+            assert img.shape == (res, res, 3)
+            assert img.dtype == np.uint8
+
+    def test_augmentation_varies(self, image_dir):
+        ds = ImageFolderDataset([image_dir], 2)
+        a = ds.get(0, np.random.RandomState(1))
+        b = ds.get(0, np.random.RandomState(2))
+        assert not np.array_equal(a, b)
+
+    def test_no_augment_deterministic(self, image_dir):
+        ds = ImageFolderDataset([image_dir], 2, augment=False)
+        a = ds.get(0, np.random.RandomState(1))
+        b = ds.get(0, np.random.RandomState(2))
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ImageFolderDataset([str(tmp_path)], 0)
+
+
+class TestSplit:
+    def test_70_30(self):
+        tr, va = split_dataset(100)
+        assert len(tr) == 70 and len(va) == 30
+        assert set(tr) | set(va) == set(range(100))
+        assert not set(tr) & set(va)
+
+    def test_deterministic(self):
+        a, _ = split_dataset(50, seed=42)
+        b, _ = split_dataset(50, seed=42)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestPipeline:
+    def test_batches_flow(self, image_dir):
+        ds = ImageFolderDataset([image_dir], 1)
+        with DataPipeline(ds, 4, num_workers=2, prefetch_depth=2) as pipe:
+            for _ in range(5):
+                b = next(pipe)
+                assert b.shape == (4, 8, 8, 3)
+                assert b.dtype == np.uint8
+
+    def test_small_dataset_tiles(self, image_dir):
+        ds = ImageFolderDataset([image_dir], 0)
+        with DataPipeline(ds, 32, num_workers=2) as pipe:     # 32 > 9 images
+            b = next(pipe)
+            assert b.shape == (32, 4, 4, 3)
+
+    def test_synthetic(self):
+        ds = SyntheticDataset(64, scale_index=2)
+        with DataPipeline(ds, 8, num_workers=2) as pipe:
+            b = next(pipe)
+            assert b.shape == (8, 16, 16, 3)
+
+    def test_shard_fn_applied(self):
+        ds = SyntheticDataset(64, scale_index=0)
+        with DataPipeline(ds, 8, num_workers=1,
+                          shard_fn=lambda b: b.astype(np.float32)) as pipe:
+            assert next(pipe).dtype == np.float32
+
+
+class TestBuildDataset:
+    def test_auto_falls_back_to_synthetic(self):
+        cfg = Config({"dataset_root_list": ["/nonexistent"]})
+        ds = build_dataset(cfg, 0)
+        assert isinstance(ds, SyntheticDataset)
+
+    def test_auto_picks_folder(self, image_dir):
+        cfg = Config({"dataset_root_list": [image_dir]})
+        ds = build_dataset(cfg, 0)
+        assert isinstance(ds, ImageFolderDataset)
+
+    def test_forced_synthetic(self, image_dir):
+        cfg = Config({"dataset_root_list": [image_dir],
+                      "data_backend": "synthetic"})
+        assert isinstance(build_dataset(cfg, 0), SyntheticDataset)

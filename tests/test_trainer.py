@@ -1,0 +1,144 @@
+"""End-to-end trainer tests: full progressive runs, checkpoint resume,
+image/metric output, CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pggan_tpu import Config
+from pggan_tpu.registry import create_model
+
+
+def smoke_cfg(tmp_path, **over):
+    return Config({
+        "depths": [16, 16, 8],
+        "latent_dim": 32,
+        "batch_per_gpu": 1,            # 8 devices × 1 = global 8
+        "max_step_at_scale": [4, 6, 6],
+        "alpha_jump_start": [-1, 1, 1],
+        "alpha_jump_interval": [0, 1, 1],
+        "alpha_jump_Ntimes": [0, 3, 3],
+        "loss_cycle": 2,
+        "test_cycle": 4,
+        "ckpt_cycle": 4,
+        "save_root": str(tmp_path / "results"),
+        "data_backend": "synthetic",
+        "synthetic_dataset_size": 64,
+        "num_data_workers": 2,
+        "use_mGPU": True,
+        **over,
+    })
+
+
+class TestEndToEnd:
+    def test_progressive_run_with_jumps(self, tmp_path):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("smoke", max_step=12)
+            # scale jumps at steps 4 and 10 → scale 2, res 16; the scale-2
+            # alpha fade starts at 11, so one of three jumps has fired.
+            assert trainer.schedule.scale_index == 2
+            assert trainer.schedule.resolution == 16
+            assert trainer.schedule.alpha == 0.3333
+            run_dir = os.path.join(cfg.save_root, "smoke")
+            assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+            assert os.path.exists(os.path.join(run_dir, "imgs", "e4.jpg"))
+            ckpts = os.listdir(os.path.join(run_dir, "ckpt"))
+            assert "G_latest.npz" in ckpts and "D_latest.npz" in ckpts
+        finally:
+            trainer.close()
+
+    def test_metrics_jsonl_valid(self, tmp_path):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("m", max_step=4)
+        finally:
+            trainer.close()
+        lines = open(os.path.join(cfg.save_root, "m", "metrics.jsonl")).readlines()
+        assert lines
+        rec = json.loads(lines[0])
+        assert "L_D" in rec and "L_G" in rec and np.isfinite(rec["L_D"])
+
+
+class TestResume:
+    def test_resume_restores_schedule_and_weights(self, tmp_path):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("orig", max_step=8)       # past the scale jump at 4
+            snap_sched = trainer.schedule.state_dict()
+            w = np.asarray(trainer.state.params_G["first_conv"]["w"])
+        finally:
+            trainer.close()
+
+        cfg2 = smoke_cfg(tmp_path, ckpt_id="orig", ckpt_step=8)
+        trainer2 = create_model(cfg2)
+        try:
+            assert trainer2.global_step == 8
+            assert trainer2.schedule.state_dict() == snap_sched
+            assert trainer2.schedule.scale_index == 1
+            np.testing.assert_array_equal(
+                np.asarray(trainer2.state.params_G["first_conv"]["w"]), w)
+            # and training continues across the next jump
+            trainer2.cfg.run_id = "resumed"
+            trainer2.fit("resumed", max_step=12)
+            assert trainer2.global_step == 12
+        finally:
+            trainer2.close()
+
+    def test_resume_latest_when_step_none(self, tmp_path):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("orig2", max_step=5)
+        finally:
+            trainer.close()
+        cfg2 = smoke_cfg(tmp_path, ckpt_id="orig2", ckpt_step=None)
+        trainer2 = create_model(cfg2)
+        try:
+            assert trainer2.global_step == 5      # final save at fit() end
+        finally:
+            trainer2.close()
+
+    def test_missing_ckpt_fails_loudly(self, tmp_path):
+        cfg = smoke_cfg(tmp_path, ckpt_id="ghost")
+        with pytest.raises(FileNotFoundError):
+            create_model(cfg)
+
+
+class TestCLI:
+    def test_train_cli_smoke(self, tmp_path, monkeypatch, capsys):
+        import train as train_cli
+        cfg_path = tmp_path / "cfg.yaml"
+        import yaml
+        smoke = smoke_cfg(tmp_path).to_dict()
+        cfg_path.write_text(yaml.safe_dump(smoke))
+        monkeypatch.chdir(tmp_path)
+        rc = train_cli.main(["cli_run", "--config", str(cfg_path),
+                             "--max_step", "3"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(smoke["save_root"], "cli_run",
+                                           "metrics.jsonl"))
+
+    def test_demo_cli_samples(self, tmp_path, monkeypatch):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("demo_src", max_step=5)
+        finally:
+            trainer.close()
+        import demo as demo_cli
+        rc = demo_cli.main(["--ckpt_id", "demo_src",
+                            "--save_root", cfg.save_root,
+                            "--n_samples", "3"])
+        assert rc == 0
+        samples = os.listdir(os.path.join(cfg.save_root, "demo_src", "samples"))
+        assert sorted(samples) == ["result_0.jpg", "result_1.jpg", "result_2.jpg"]
+
+    def test_train_cli_requires_run_id(self, capsys):
+        import train as train_cli
+        assert train_cli.main(["--max_step", "1"]) == 2

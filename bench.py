@@ -37,6 +37,8 @@ def main(argv=None):
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
+    parser.add_argument("--r1_interval", type=int, default=1,
+                        help="lazy-R1 cadence; 1 = reference parity")
     parser.add_argument("--alpha", type=float, default=0.7)
     ns = parser.parse_args(argv)
 
@@ -73,15 +75,19 @@ def main(argv=None):
     cfg = Config({
         "depths": depths, "latent_dim": 512,
         "compute_dtype": ns.compute_dtype, "loss_mode": ns.loss_mode,
-        "donate_buffers": True,
+        "r1_interval": ns.r1_interval, "donate_buffers": True,
     })
     t_init = time.time()
-    rng = jax.random.PRNGKey(0)
-    kg, kd, ks = jax.random.split(rng, 3)
-    params_G = init_generator_params(kg, latent_dim=512, depths=depths, scale=scale)
-    params_D = init_discriminator_params(kd, depths=depths, scale=scale)
     opt_g, opt_d = make_optimizers(cfg)
-    state = init_train_state(ks, params_G, params_D, opt_g, opt_d)
+
+    @jax.jit
+    def _init(rng):
+        kg, kd, ks = jax.random.split(rng, 3)
+        params_G = init_generator_params(kg, latent_dim=512, depths=depths, scale=scale)
+        params_D = init_discriminator_params(kd, depths=depths, scale=scale)
+        return init_train_state(ks, params_G, params_D, opt_g, opt_d)
+
+    state = _init(jax.random.PRNGKey(0))
     jax.block_until_ready(state)
     print(f"[bench] param init {time.time()-t_init:.1f}s", file=sys.stderr)
 
@@ -93,17 +99,23 @@ def main(argv=None):
     alpha = jnp.float32(ns.alpha)
 
     step = make_train_step(cfg, scale, opt_g, opt_d)
+    lazy = ns.r1_interval > 1 and ns.loss_mode == "r1"
+
+    def run(state, i):
+        if lazy:
+            return step(state, imgs, alpha, i % ns.r1_interval == 0)
+        return step(state, imgs, alpha)
 
     t0 = time.time()
-    for _ in range(ns.warmup):
-        state, metrics, _ = step(state, imgs, alpha)
+    for i in range(max(ns.warmup, 2 if lazy else 1)):
+        state, metrics, _ = run(state, i)
     jax.block_until_ready(state)
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s; "
           f"L_D={float(metrics['L_D']):.3f}", file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(ns.steps):
-        state, metrics, _ = step(state, imgs, alpha)
+    for i in range(ns.steps):
+        state, metrics, _ = run(state, i)
     jax.block_until_ready(state)
     elapsed = time.time() - t0
 

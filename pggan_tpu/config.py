@@ -40,6 +40,11 @@ _DEFAULTS: Dict[str, Any] = {
     # reference's latent path, pggan/loss.py:54-100, with its no-gradient
     # `.item()` bug fixed).
     "loss_mode": "r1",
+    # R1 variants: target 'logits' (published R1) or 'loss' (the reference's
+    # literal call site, pggan/loss.py:23); r1_interval>1 enables lazy R1
+    # (StyleGAN2 §5.1) with interval-scaled penalty — default 1 = parity.
+    "r1_target": "logits",
+    "r1_interval": 1,
     # hyperparameters
     "batch_per_gpu": 16,
     "max_step": 2_000_000,

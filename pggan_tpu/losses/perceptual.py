@@ -1,0 +1,81 @@
+"""LPIPS-style perceptual distance — the `submodel/lpips.py` analog.
+
+The reference's LPIPS (`submodel/lpips.py:6-70`) is an AlexNet feature
+stack with learned 1×1 channel weights loaded from a local checkpoint
+(`ptnn/lpips_weights.ckpt`, `lpips.py:18-23`); it is imported by
+`lib/loss.py:2` and only instantiated lazily by `Loss.get_lpips_loss`
+(`lib/loss.py:65-69`) — never on the PGGAN train path.
+
+This environment has no network egress and no bundled AlexNet weights, so
+the perceptual metric here is:
+  * the same architecture shape: a conv feature pyramid, per-layer unit
+    normalization over channels, learned (or unit) 1×1 weights, spatial
+    averaging, layer sum (exactly LPIPS's structure);
+  * a fixed-seed random backbone by default (deterministic, valid as a
+    relative perceptual distance; not numerically comparable to AlexNet
+    LPIPS);
+  * `load_linear_weights(path)` / backbone injection hooks so real LPIPS
+    weights can be dropped in from a local npz.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PerceptualDistance:
+    # AlexNet-like widths (lpips backbone stages)
+    _WIDTHS = (64, 192, 384, 256, 256)
+    _STRIDES = (4, 2, 2, 1, 1)
+    _KERNELS = (11, 5, 3, 3, 3)
+
+    def __init__(self, seed: int = 7, linear_weights: Optional[List[np.ndarray]] = None):
+        rng = jax.random.PRNGKey(seed)
+        self.backbone = []
+        c_in = 3
+        for i, (c_out, k) in enumerate(zip(self._WIDTHS, self._KERNELS)):
+            key = jax.random.fold_in(rng, i)
+            w = jax.random.normal(key, (k, k, c_in, c_out), jnp.float32)
+            w = w * math.sqrt(2.0 / (k * k * c_in))
+            self.backbone.append(w)
+            c_in = c_out
+        if linear_weights is None:
+            self.linear = [jnp.ones((c,), jnp.float32) / c for c in self._WIDTHS]
+        else:
+            self.linear = [jnp.asarray(w).reshape(-1) for w in linear_weights]
+
+    @staticmethod
+    def load_linear_weights(path: str) -> List[np.ndarray]:
+        """Load per-layer 1×1 weights from a local npz (keys lin0..lin4),
+        mirroring the reference's ckpt load (`lpips.py:18-23`)."""
+        with np.load(path) as data:
+            return [data[f"lin{i}"] for i in range(5)]
+
+    def _features(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        feats = []
+        y = x.astype(jnp.float32)
+        for w, stride in zip(self.backbone, self._STRIDES):
+            y = jax.lax.conv_general_dilated(
+                y, w, window_strides=(stride, stride), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jax.nn.relu(y)
+            feats.append(y)
+        return feats
+
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Mean perceptual distance between NHWC batches in [-1, 1]
+        (structure of `lpips.py:41-58`: unit-normalize channels, weighted
+        squared diff, spatial mean, sum over layers, batch mean)."""
+        total = jnp.float32(0.0)
+        for fa, fb, lin in zip(self._features(a), self._features(b), self.linear):
+            na = fa * jax.lax.rsqrt(jnp.sum(fa * fa, axis=-1, keepdims=True) + 1e-10)
+            nb = fb * jax.lax.rsqrt(jnp.sum(fb * fb, axis=-1, keepdims=True) + 1e-10)
+            d = jnp.square(na - nb)                       # [B,H,W,C]
+            d = jnp.sum(d * lin.astype(d.dtype), axis=-1)  # learned 1×1
+            total = total + jnp.mean(d, axis=(1, 2))      # spatial avg
+        return jnp.mean(total)

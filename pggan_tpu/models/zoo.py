@@ -1,0 +1,180 @@
+"""Auxiliary discriminator zoo — functional JAX ports of the reference's
+`submodel/discriminator.py` capability surface (all OFF the PGGAN training
+path there, provided for framework completeness):
+
+  * PatchGAN discriminator        (`submodel/discriminator.py:26-77`)
+  * N-layer discriminator         (`:80-129`)
+  * Multiscale discriminator      (`:132-172`)
+  * StarGANv2-style discriminator (`:175-243`)
+  * Latent-code MLP discriminator (`:7-23`)
+
+All NHWC, plain-dict params, init/apply pairs in the house style. These use
+standard (non-equalized) conv initialization like the reference zoo.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.basic import leaky_relu
+
+
+def _conv_init(rng, in_ch, out_ch, k, dtype=jnp.float32):
+    k_w, k_b = jax.random.split(rng)
+    fan_in = in_ch * k * k
+    w = jax.random.normal(k_w, (k, k, in_ch, out_ch), dtype) * math.sqrt(2.0 / fan_in)
+    b = jnp.zeros((out_ch,), dtype)
+    return {"w": w, "b": b}
+
+
+def _conv(p, x, *, stride=1, padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+def _instance_norm(x, eps=1e-5):
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+# ---------------------------------------------------------------------------
+# PatchGAN / N-layer discriminator (pix2pix-style)
+# ---------------------------------------------------------------------------
+
+def init_patch_discriminator(rng: jax.Array, *, input_dim: int = 3,
+                             base_width: int = 64, n_layers: int = 3
+                             ) -> Dict[str, Any]:
+    """PatchGAN (`discriminator.py:26-77`): stride-2 conv stack with
+    doubling widths, instance norm after the first layer, 1-channel
+    patch-logit head."""
+    layers: List[Dict] = []
+    c_in, c_out = input_dim, base_width
+    for i in range(n_layers):
+        layers.append(_conv_init(jax.random.fold_in(rng, i), c_in, c_out, 4))
+        c_in, c_out = c_out, min(c_out * 2, 512)
+    layers.append(_conv_init(jax.random.fold_in(rng, 90), c_in, c_out, 4))
+    head = _conv_init(jax.random.fold_in(rng, 91), c_out, 1, 4)
+    return {"layers": layers, "head": head}
+
+
+def patch_discriminator_apply(params: Dict[str, Any], x: jax.Array,
+                              *, slope: float = 0.2,
+                              get_features: bool = False):
+    """Returns patch logits [B, H', W', 1] (and per-layer features)."""
+    feats = []
+    y = x
+    for i, p in enumerate(params["layers"]):
+        stride = 2 if i < len(params["layers"]) - 1 else 1
+        y = _conv(p, y, stride=stride)
+        if i > 0:
+            y = _instance_norm(y)
+        y = leaky_relu(y, slope)
+        feats.append(y)
+    out = _conv(params["head"], y, stride=1)
+    if get_features:
+        return out, feats
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multiscale discriminator
+# ---------------------------------------------------------------------------
+
+def init_multiscale_discriminator(rng: jax.Array, *, num_scales: int = 3,
+                                  input_dim: int = 3, base_width: int = 64,
+                                  n_layers: int = 3) -> Dict[str, Any]:
+    """One PatchGAN per scale, input avg-pooled ×2 between scales
+    (`discriminator.py:132-172`)."""
+    return {"scales": [
+        init_patch_discriminator(jax.random.fold_in(rng, s),
+                                 input_dim=input_dim, base_width=base_width,
+                                 n_layers=n_layers)
+        for s in range(num_scales)]}
+
+
+def multiscale_discriminator_apply(params: Dict[str, Any], x: jax.Array,
+                                   *, slope: float = 0.2) -> List[jax.Array]:
+    from pggan_tpu.ops.basic import downscale2d
+    outs = []
+    y = x
+    for p in params["scales"]:
+        outs.append(patch_discriminator_apply(p, y, slope=slope))
+        y = downscale2d(y, 2)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Latent-code MLP discriminator
+# ---------------------------------------------------------------------------
+
+def init_latent_discriminator(rng: jax.Array, *, code_dim: int = 512,
+                              hidden: Sequence[int] = (256, 128, 64, 32, 16)
+                              ) -> Dict[str, Any]:
+    """MLP over latent codes (`discriminator.py:7-23`)."""
+    dims = [code_dim] + list(hidden) + [1]
+    layers = []
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        k = jax.random.fold_in(rng, i)
+        w = jax.random.normal(k, (a, b)) * math.sqrt(2.0 / a)
+        layers.append({"w": w, "b": jnp.zeros((b,))})
+    return {"layers": layers}
+
+
+def latent_discriminator_apply(params, code, *, slope: float = 0.2):
+    y = code
+    for i, p in enumerate(params["layers"]):
+        y = y @ p["w"] + p["b"]
+        if i < len(params["layers"]) - 1:
+            y = leaky_relu(y, slope)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# StarGANv2-style residual discriminator
+# ---------------------------------------------------------------------------
+
+def init_stargan_discriminator(rng: jax.Array, *, img_size: int = 256,
+                               input_dim: int = 3, num_domains: int = 1,
+                               max_width: int = 512) -> Dict[str, Any]:
+    """Residual downsampling stack → domain logits
+    (`discriminator.py:175-243`)."""
+    import numpy as np
+    repeat = int(np.log2(img_size)) - 2
+    width = 2 ** 14 // img_size
+    stem = _conv_init(jax.random.fold_in(rng, 0), input_dim, width, 3)
+    blocks = []
+    c_in = width
+    for i in range(repeat):
+        c_out = min(c_in * 2, max_width)
+        k = jax.random.fold_in(rng, 10 + i)
+        blocks.append({
+            "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, c_in, 3),
+            "conv2": _conv_init(jax.random.fold_in(k, 1), c_in, c_out, 3),
+            "skip": _conv_init(jax.random.fold_in(k, 2), c_in, c_out, 1),
+        })
+        c_in = c_out
+    head1 = _conv_init(jax.random.fold_in(rng, 90), c_in, c_in, 4)
+    head2 = _conv_init(jax.random.fold_in(rng, 91), c_in, num_domains, 1)
+    return {"stem": stem, "blocks": blocks, "head1": head1, "head2": head2}
+
+
+def stargan_discriminator_apply(params, x, *, slope: float = 0.2):
+    from pggan_tpu.ops.basic import downscale2d
+    y = _conv(params["stem"], x)
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for b in params["blocks"]:
+        skip = downscale2d(_conv(b["skip"], y), 2)
+        h = _conv(b["conv1"], leaky_relu(y, slope))
+        h = downscale2d(h, 2)
+        h = _conv(b["conv2"], leaky_relu(h, slope))
+        y = (h + skip) * inv_sqrt2
+    y = _conv(params["head1"], leaky_relu(y, slope), padding="VALID")
+    y = _conv(params["head2"], leaky_relu(y, slope))
+    return y.reshape(y.shape[0], -1)

@@ -48,7 +48,7 @@ def pixel_norm(x: jax.Array, eps: float = 1e-8, impl: str = "xla") -> jax.Array:
     """
     if impl == "pallas":
         from pggan_tpu.ops import pallas_kernels as pk
-        return pk.pixel_norm(x, eps=eps)
+        return pk.pixel_norm(x, eps)
     mean_sq = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     return x * jax.lax.rsqrt(mean_sq + eps)
 
@@ -102,11 +102,15 @@ def minibatch_stddev(x: jax.Array, subgroup_size: int = 4, eps: float = 1e-8,
         y = jnp.zeros((n, h, w, 1), dtype=x.dtype)
         return jnp.concatenate([x, y], axis=-1)
     groups = n // sg
-    xf = x.astype(jnp.float32)
-    y = xf.reshape(groups, sg, h, w, c)
-    var = jnp.var(y, axis=1, ddof=1)                      # unbiased, [G,H,W,C]
-    std = jnp.sqrt(var + eps)
-    stat = jnp.mean(std, axis=(1, 2, 3))                  # [G]
+    if impl == "pallas":
+        from pggan_tpu.ops import pallas_kernels as pk
+        stat = pk.minibatch_stddev_stat(x, sg, eps)       # [G]
+    else:
+        xf = x.astype(jnp.float32)
+        y = xf.reshape(groups, sg, h, w, c)
+        var = jnp.var(y, axis=1, ddof=1)                  # unbiased, [G,H,W,C]
+        std = jnp.sqrt(var + eps)
+        stat = jnp.mean(std, axis=(1, 2, 3))              # [G]
     stat = jnp.repeat(stat, sg)                           # [N]
     y = jnp.broadcast_to(stat[:, None, None, None], (n, h, w, 1)).astype(x.dtype)
     return jnp.concatenate([x, y], axis=-1)

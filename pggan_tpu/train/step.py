@@ -86,12 +86,20 @@ def _normalize_images(img: jax.Array) -> jax.Array:
 def make_train_step(cfg, scale_index: int,
                     opt_g: optax.GradientTransformation,
                     opt_d: optax.GradientTransformation,
-                    *, jit: bool = True):
+                    *, jit: bool = True, include_r1: Optional[bool] = None):
     """Build the fused step for one progressive scale.
 
     Returns step(state, img_real, alpha) -> (state, metrics, images) where
     `images = (img_real_faded, img_fake)` feeds the periodic sample grid
     (`train.py:56-57` in the reference).
+
+    `include_r1` (loss_mode='r1' only): None (default) → the penalty is
+    computed per the lazy-R1 cadence; with r1_interval == 1 that is every
+    step (reference parity) and the graph contains no conditional. With
+    r1_interval > 1 the step takes an extra traced boolean `apply_r1` and
+    branches via `lax.cond` INSIDE one compiled program (one executable
+    per scale — switching between two large executables per step proved
+    fragile on remote-compile backends). True/False force it statically.
     """
     latent_dim = int(cfg.latent_dim)
     slope = float(cfg.LReLU_slope)
@@ -103,6 +111,16 @@ def make_train_step(cfg, scale_index: int,
     w_drift = float(cfg.W_drift_D)
     loss_mode = str(cfg.loss_mode)
     r1_target = str(cfg["r1_target"]) if "r1_target" in cfg else "logits"
+    # Lazy R1 (StyleGAN2 §5.1): compute the penalty every `r1_interval`
+    # steps, scaled by the interval. Default 1 = reference parity (penalty
+    # every step). The trainer passes `step_index` so the cadence is exact.
+    r1_interval = int(cfg["r1_interval"]) if "r1_interval" in cfg else 1
+    if include_r1 is None:
+        lazy_r1 = loss_mode == "r1" and r1_interval > 1
+        with_r1 = True
+    else:
+        lazy_r1 = False
+        with_r1 = bool(include_r1)
     impl = str(cfg.impl)
     compute_dtype = jnp.bfloat16 if str(cfg.compute_dtype) == "bfloat16" else jnp.float32
 
@@ -116,7 +134,8 @@ def make_train_step(cfg, scale_index: int,
             params, img, alpha, slope=slope, apply_minibatch_norm=apply_mbn,
             compute_dtype=compute_dtype, impl=impl)
 
-    def step(state: TrainState, img_real: jax.Array, alpha: jax.Array):
+    def _step(state: TrainState, img_real: jax.Array, alpha: jax.Array,
+              apply_r1):
         rng, k_z1, k_z2, k_eps = jax.random.split(state.rng, 4)
         img_real = _normalize_images(img_real)
         batch = img_real.shape[0]
@@ -134,24 +153,57 @@ def make_train_step(cfg, scale_index: int,
 
         def d_loss_fn(params_D):
             d_fn = lambda im: d_apply(params_D, im, alpha)
+            if loss_mode == "r1":
+                # Single real-path forward shared between BCE and R1: the
+                # inner value_and_grad yields pred_real AND ∇ₓ in one
+                # fwd+bwd (no reliance on XLA CSE).
+                if r1_target == "logits":
+                    def f_real(im):
+                        pred = d_fn(im)
+                        return jnp.sum(pred.astype(jnp.float32)), pred
+                else:  # 'loss': the reference's literal call site
+                    def f_real(im):
+                        pred = d_fn(im)
+                        return bce_with_logits(pred, 1), pred
+
+                def r1_branch(im):
+                    (_, pred), grad_im = jax.value_and_grad(
+                        f_real, has_aux=True)(im)
+                    grad_im = grad_im.astype(jnp.float32)
+                    per_sample = jnp.sum(
+                        jnp.square(grad_im).reshape(grad_im.shape[0], -1), axis=1)
+                    return pred, 0.5 * jnp.mean(per_sample) * float(r1_interval)
+
+                def plain_branch(im):
+                    return d_fn(im), jnp.float32(0.0)
+
+                if lazy_r1:
+                    pred_real, reg = jax.lax.cond(
+                        apply_r1, r1_branch, plain_branch, img_real)
+                elif with_r1:
+                    pred_real, reg = r1_branch(img_real)
+                else:
+                    pred_real, reg = plain_branch(img_real)
+
+                pred_fake = d_fn(img_fake)
+                l_real = bce_with_logits(pred_real, 1)
+                l_fake = bce_with_logits(pred_fake, 0)
+                loss = l_real + l_fake + reg
+                metrics = {"L_D_real": l_real, "L_D_fake": l_fake,
+                           "L_D_r1": reg, "L_D": loss}
+                return loss, metrics
+
+            if loss_mode != "wgangp":
+                raise ValueError(f"unknown loss mode {loss_mode!r}")
             pred_real = d_fn(img_real)
             pred_fake = d_fn(img_fake)
             l_real = bce_with_logits(pred_real, 1)
             l_fake = bce_with_logits(pred_fake, 0)
-            metrics = {"L_D_real": l_real, "L_D_fake": l_fake}
-            if loss_mode == "r1":
-                reg = r1_penalty(d_fn, img_real, target=r1_target)
-                loss = l_real + l_fake + reg
-                metrics["L_D_r1"] = reg
-            elif loss_mode == "wgangp":
-                gp = gradient_penalty(d_fn, img_real, img_fake, eps, w_gp) if w_gp else 0.0
-                drift = drift_loss(pred_real, w_drift) if w_drift else 0.0
-                loss = l_real + l_fake + gp + drift
-                metrics["L_D_gp"] = gp
-                metrics["L_D_eps"] = drift
-            else:
-                raise ValueError(f"unknown loss mode {loss_mode!r}")
-            metrics["L_D"] = loss
+            gp = gradient_penalty(d_fn, img_real, img_fake, eps, w_gp) if w_gp else 0.0
+            drift = drift_loss(pred_real, w_drift) if w_drift else 0.0
+            loss = l_real + l_fake + gp + drift
+            metrics = {"L_D_real": l_real, "L_D_fake": l_fake,
+                       "L_D_gp": gp, "L_D_eps": drift, "L_D": loss}
             return loss, metrics
 
         (loss_d, metrics_d), grads_d = jax.value_and_grad(
@@ -178,6 +230,13 @@ def make_train_step(cfg, scale_index: int,
         new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D, rng)
         images = (img_real, img_fake2.astype(jnp.float32))
         return new_state, metrics, images
+
+    if lazy_r1:
+        def step(state, img_real, alpha, apply_r1):
+            return _step(state, img_real, alpha, jnp.asarray(apply_r1, bool))
+    else:
+        def step(state, img_real, alpha):
+            return _step(state, img_real, alpha, None)
 
     if jit:
         donate = (0,) if cfg.donate_buffers else ()

@@ -80,6 +80,7 @@ class ProgressiveGANTrainer:
         self.loss_collector: Optional[LossCollector] = None
         self.logger: Optional[MetricLogger] = None
         self._step_fn = None
+        self._r1_interval = 1
         self._pipeline: Optional[DataPipeline] = None
         self._valid_pipeline: Optional[DataPipeline] = None
         self._train_indices = None
@@ -99,18 +100,27 @@ class ProgressiveGANTrainer:
 
     def initialize_models(self):
         cfg = self.cfg
-        params_G = init_generator_params(
-            self._rng_G, latent_dim=cfg.latent_dim, depths=cfg.depths,
-            scale=self.schedule.scale_index, output_dim=cfg.output_dim,
-            equalized_lr=cfg.equalized_lr,
-            init_bias_to_zero=cfg.init_bias_to_zero)
-        params_D = init_discriminator_params(
-            self._rng_D, depths=cfg.depths, scale=self.schedule.scale_index,
-            input_dim=cfg.input_dim,
-            decision_layer_size=cfg.decision_layer_size,
-            apply_minibatch_norm=cfg.apply_minibatch_norm,
-            equalized_lr=cfg.equalized_lr,
-            init_bias_to_zero=cfg.init_bias_to_zero)
+        scale = self.schedule.scale_index
+
+        # Jit the whole init: one compiled program instead of ~100 per-op
+        # device dispatches (matters over the remote-TPU tunnel).
+        @jax.jit
+        def _init(rng_g, rng_d):
+            params_G = init_generator_params(
+                rng_g, latent_dim=cfg.latent_dim, depths=cfg.depths,
+                scale=scale, output_dim=cfg.output_dim,
+                equalized_lr=cfg.equalized_lr,
+                init_bias_to_zero=cfg.init_bias_to_zero)
+            params_D = init_discriminator_params(
+                rng_d, depths=cfg.depths, scale=scale,
+                input_dim=cfg.input_dim,
+                decision_layer_size=cfg.decision_layer_size,
+                apply_minibatch_norm=cfg.apply_minibatch_norm,
+                equalized_lr=cfg.equalized_lr,
+                init_bias_to_zero=cfg.init_bias_to_zero)
+            return params_G, params_D
+
+        params_G, params_D = _init(self._rng_G, self._rng_D)
         self._fresh_state(params_G, params_D, self._rng_state)
 
     def _fresh_state(self, params_G, params_D, rng):
@@ -186,8 +196,11 @@ class ProgressiveGANTrainer:
         self._build_step_fn()
 
     def _build_step_fn(self):
+        cfg = self.cfg
+        interval = int(cfg["r1_interval"]) if "r1_interval" in cfg else 1
+        self._r1_interval = interval if str(cfg.loss_mode) == "r1" else 1
         self._step_fn = make_train_step(
-            self.cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
+            cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
 
     # -- the hot loop ---------------------------------------------------------
     def load_next_batch(self):
@@ -198,7 +211,12 @@ class ProgressiveGANTrainer:
         the periodic sample grid (`pggan/model.py:206-255`)."""
         batch = self.load_next_batch()
         alpha = jnp.float32(self.schedule.alpha)
-        self.state, metrics, images = self._step_fn(self.state, batch, alpha)
+        if self._r1_interval > 1:
+            apply_r1 = self.global_step % self._r1_interval == 0
+            self.state, metrics, images = self._step_fn(
+                self.state, batch, alpha, apply_r1)
+        else:
+            self.state, metrics, images = self._step_fn(self.state, batch, alpha)
         self._last_metrics = metrics
         return images
 

@@ -1,0 +1,159 @@
+"""Tests for aux subsystems: stats, debug, metrics (FID), zoo, perceptual."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pggan_tpu.utils import stats
+from pggan_tpu.utils.debug import (assert_shape, check_replication_consistency,
+                                   nan_to_num, profiled_function)
+from pggan_tpu.metrics import (frechet_distance, fid_between_sets,
+                               RandomConvFeatures)
+
+
+class TestStats:
+    def setup_method(self):
+        stats.reset()
+
+    def test_report_and_collect(self):
+        stats.report("loss", 1.0)
+        stats.report("loss", 3.0)
+        c = stats.Collector()
+        c.update()
+        assert c.num("loss") == 2
+        assert c.mean("loss") == 2.0
+        assert c.std("loss") == pytest.approx(1.0)
+
+    def test_delta_semantics(self):
+        stats.report("x", [1.0, 2.0])
+        c = stats.Collector()
+        c.update()
+        assert c.num("x") == 2
+        stats.report("x", 5.0)
+        c.update()
+        assert c.num("x") == 1          # only the new sample
+        assert c.mean("x") == 5.0
+
+    def test_regex_filter(self):
+        stats.report("train/loss", 1.0)
+        stats.report("valid/loss", 2.0)
+        c = stats.Collector(r"train/.*")
+        c.update()
+        assert c.names() == ["train/loss"]
+
+
+class TestDebug:
+    def test_assert_shape_ok(self):
+        assert_shape(jnp.zeros((2, 3, 4)), (2, None, 4))
+
+    def test_assert_shape_fails(self):
+        with pytest.raises(AssertionError):
+            assert_shape(jnp.zeros((2, 3)), (2, 4))
+        with pytest.raises(AssertionError):
+            assert_shape(jnp.zeros((2, 3)), (2, 3, 1))
+
+    def test_nan_to_num(self):
+        x = jnp.asarray([float("nan"), float("inf"), 1.0])
+        out = np.asarray(nan_to_num(x))
+        assert out[0] == 0.0 and np.isfinite(out).all()
+
+    def test_profiled_function_passthrough(self):
+        @profiled_function
+        def f(x):
+            return x * 2
+        assert float(f(jnp.float32(3.0))) == 6.0
+
+    def test_replication_consistency(self):
+        from pggan_tpu.parallel import create_mesh, replicate
+        mesh = create_mesh(devices=jax.devices())
+        tree = {"w": jnp.ones((8, 8))}
+        check_replication_consistency(replicate(tree, mesh))
+
+
+class TestFID:
+    def test_identical_distributions_near_zero(self):
+        rs = np.random.RandomState(0)
+        mu = jnp.asarray(rs.randn(16), jnp.float32)
+        a = rs.randn(16, 16).astype(np.float32)
+        sigma = jnp.asarray(a @ a.T / 16 + np.eye(16, dtype=np.float32))
+        d = float(frechet_distance(mu, sigma, mu, sigma))
+        assert abs(d) < 1e-2
+
+    def test_known_distance_diagonal(self):
+        # analytic: distinct means, identity covs → ||Δμ||²
+        mu1 = jnp.zeros((8,))
+        mu2 = jnp.ones((8,)) * 2.0
+        eye = jnp.eye(8)
+        d = float(frechet_distance(mu1, eye, mu2, eye))
+        assert d == pytest.approx(8 * 4.0, rel=1e-3)
+
+    def test_end_to_end_sets(self):
+        rs = np.random.RandomState(1)
+        real = [rs.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8) for _ in range(2)]
+        fake_same = [r.copy() for r in real]
+        fake_diff = [np.zeros((8, 16, 16, 3), dtype=np.uint8) for _ in range(2)]
+        ex = RandomConvFeatures(feature_dim=64)
+        d_same = fid_between_sets(real, fake_same, ex)
+        d_diff = fid_between_sets(real, fake_diff, ex)
+        assert d_same < 1e-2
+        assert d_diff > d_same + 0.1
+
+
+class TestZoo:
+    def test_patch_discriminator(self):
+        from pggan_tpu.models.zoo import (init_patch_discriminator,
+                                          patch_discriminator_apply)
+        p = init_patch_discriminator(jax.random.PRNGKey(0), base_width=16)
+        x = jnp.zeros((2, 64, 64, 3))
+        out, feats = patch_discriminator_apply(p, x, get_features=True)
+        assert out.shape[0] == 2 and out.shape[-1] == 1
+        assert len(feats) == 4
+
+    def test_multiscale(self):
+        from pggan_tpu.models.zoo import (init_multiscale_discriminator,
+                                          multiscale_discriminator_apply)
+        p = init_multiscale_discriminator(jax.random.PRNGKey(0), num_scales=2,
+                                          base_width=8)
+        outs = multiscale_discriminator_apply(p, jnp.zeros((2, 32, 32, 3)))
+        assert len(outs) == 2
+
+    def test_latent_mlp(self):
+        from pggan_tpu.models.zoo import (init_latent_discriminator,
+                                          latent_discriminator_apply)
+        p = init_latent_discriminator(jax.random.PRNGKey(0), code_dim=64,
+                                      hidden=(32, 16))
+        out = latent_discriminator_apply(p, jnp.zeros((4, 64)))
+        assert out.shape == (4, 1)
+
+    def test_stargan(self):
+        from pggan_tpu.models.zoo import (init_stargan_discriminator,
+                                          stargan_discriminator_apply)
+        p = init_stargan_discriminator(jax.random.PRNGKey(0), img_size=32,
+                                       num_domains=2)
+        out = stargan_discriminator_apply(p, jnp.zeros((2, 32, 32, 3)))
+        assert out.shape == (2, 2)
+
+
+class TestPerceptual:
+    def test_zero_for_identical(self):
+        from pggan_tpu.losses.perceptual import PerceptualDistance
+        pd = PerceptualDistance()
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+        assert float(pd(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_positive_for_different(self):
+        from pggan_tpu.losses.perceptual import PerceptualDistance
+        pd = PerceptualDistance()
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+        b = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+        assert float(pd(a, b)) > 0.01
+
+    def test_differentiable(self):
+        from pggan_tpu.losses.perceptual import PerceptualDistance
+        pd = PerceptualDistance()
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 3), jnp.float32)
+        y = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 3), jnp.float32)
+        g = jax.grad(lambda v: pd(v, y))(x)
+        assert np.all(np.isfinite(np.asarray(g)))

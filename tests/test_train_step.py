@@ -99,6 +99,24 @@ class TestStepSemantics:
         assert "L_D_gp" in metrics and "L_D_eps" in metrics
         assert float(metrics["L_D_gp"]) > 0
 
+    def test_lazy_r1_single_program(self):
+        # r1_interval>1 → one compiled program with a traced apply_r1 flag;
+        # off-steps report L_D_r1 == 0 and skip the penalty.
+        cfg = base_cfg(r1_interval=4)
+        state, og, od = setup_state(cfg)
+        fn = make_train_step(cfg, 0, og, od)
+        state, m_on, _ = fn(state, batch(8, 4), jnp.float32(0.0), True)
+        state, m_off, _ = fn(state, batch(8, 4), jnp.float32(0.0), False)
+        assert float(m_on["L_D_r1"]) > 0
+        assert float(m_off["L_D_r1"]) == 0.0
+        # penalty scaled by the interval (StyleGAN2 lazy-R1 compensation)
+        cfg1 = base_cfg()
+        state1, og1, od1 = setup_state(cfg1)
+        fn1 = make_train_step(cfg1, 0, og1, od1)
+        _, m1, _ = fn1(state1, batch(8, 4), jnp.float32(0.0))
+        np.testing.assert_allclose(float(m_on["L_D_r1"]),
+                                   4 * float(m1["L_D_r1"]), rtol=1e-4)
+
     def test_float_input_accepted(self):
         cfg = base_cfg()
         state, og, od = setup_state(cfg)

@@ -70,25 +70,48 @@ def _apply_color_jitter(img: Image.Image, rng: np.random.RandomState,
 
 
 class ImageFolderDataset:
-    """Folder-of-images dataset producing augmented uint8 NHWC samples."""
+    """Folder-of-images dataset producing augmented uint8 NHWC samples.
+
+    Decode/resize/augment runs in the native C++ loader when available
+    (libjpeg/libpng + antialiased resampling, GIL released — see
+    `pggan_tpu/native/`); `use_native=False` forces the PIL path.
+    """
 
     def __init__(self, dataset_root_list: Sequence[str], scale_index: int = 0,
                  *, is_master: bool = False, augment: bool = True,
-                 paths: Optional[Sequence[str]] = None):
+                 paths: Optional[Sequence[str]] = None,
+                 use_native: Optional[bool] = None):
         self.paths = list(paths) if paths is not None else list_image_paths(dataset_root_list)
         if not self.paths:
             raise FileNotFoundError(
                 f"no images found under {list(dataset_root_list)!r}")
         self.resolution = 2 ** (scale_index + 2)
         self.augment = augment
+        self._native = None
+        if use_native is not False:
+            try:
+                from pggan_tpu.native import NativeImageLoader, native_available
+                if native_available():
+                    self._native = NativeImageLoader(self.resolution,
+                                                     augment=augment)
+                elif use_native:
+                    raise RuntimeError("native loader requested but build failed")
+            except Exception:
+                if use_native:
+                    raise
         if is_master:
-            print(f"Dataset of {len(self)} images constructed for the training.")
+            backend = "native" if self._native is not None else "PIL"
+            print(f"Dataset of {len(self)} images constructed for the "
+                  f"training ({backend} loader).")
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
-        img = Image.open(self.paths[index % len(self.paths)]).convert("RGB")
+        path = self.paths[index % len(self.paths)]
+        if self._native is not None:
+            return self._native.load(path, rng if self.augment else None)
+        img = Image.open(path).convert("RGB")
         # torchvision Resize((s, s)) default interpolation is bilinear.
         img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
         if self.augment:

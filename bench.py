@@ -32,8 +32,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", type=int, default=6)      # 256×256
     parser.add_argument("--batch_per_chip", type=int, default=16)
-    parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--steps", type=int, default=60)
+    parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
@@ -106,18 +106,21 @@ def main(argv=None):
             return step(state, imgs, alpha, i % ns.r1_interval == 0)
         return step(state, imgs, alpha)
 
+    # NOTE: sync via device_get of a metric, NOT block_until_ready — on
+    # tunneled backends the ready-signal can resolve before the execution
+    # queue drains, and a host transfer is the only reliable barrier.
     t0 = time.time()
     for i in range(max(ns.warmup, 2 if lazy else 1)):
         state, metrics, _ = run(state, i)
-    jax.block_until_ready(state)
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s; "
-          f"L_D={float(metrics['L_D']):.3f}", file=sys.stderr)
+          f"L_D={float(jax.device_get(metrics['L_D'])):.3f}", file=sys.stderr)
 
     t0 = time.time()
     for i in range(ns.steps):
         state, metrics, _ = run(state, i)
-    jax.block_until_ready(state)
+    final_loss = float(jax.device_get(metrics["L_D"]))   # full-chain barrier
     elapsed = time.time() - t0
+    assert np.isfinite(final_loss)
 
     imgs_per_sec = batch * ns.steps / elapsed
     per_chip = imgs_per_sec / n_chips

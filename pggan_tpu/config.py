@@ -87,6 +87,8 @@ _DEFAULTS: Dict[str, Any] = {
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,
     "donate_buffers": True,
+    # rematerialization: True | False | 'auto' (on from 512×512 up)
+    "remat": "auto",
 }
 
 

@@ -100,7 +100,8 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
                         apply_minibatch_norm: bool = True,
                         get_feature: bool = False,
                         compute_dtype=jnp.float32,
-                        impl: str = "xla"
+                        impl: str = "xla",
+                        remat: bool = False
                         ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Forward pass on NHWC input; returns logits [B, decision_layer_size]
     (and the pre-decision feature when `get_feature`, `nets.py:273-276`).
@@ -117,11 +118,17 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
     y = leaky_relu(equalized_conv2d(params["fromrgb"][-1], x,
                                     compute_dtype=compute_dtype), slope)
 
+    def block_fn(block, v):
+        v = leaky_relu(equalized_conv2d(block["conv0"], v, compute_dtype=compute_dtype), slope)
+        v = leaky_relu(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype), slope)
+        return downscale2d(v)
+    if remat:
+        # per-block remat: keeps 1024² activations out of the R1
+        # grad-of-grad's live set (see generator.py note)
+        block_fn = jax.checkpoint(block_fn)
+
     for pos, i in enumerate(reversed(range(scale))):
-        block = params["blocks"][i]
-        y = leaky_relu(equalized_conv2d(block["conv0"], y, compute_dtype=compute_dtype), slope)
-        y = leaky_relu(equalized_conv2d(block["conv1"], y, compute_dtype=compute_dtype), slope)
-        y = downscale2d(y)
+        y = block_fn(params["blocks"][i], y)
         if pos == 0:
             y = blend(x_down, y, alpha)
 

@@ -112,7 +112,8 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
                     apply_pixel_norm: bool = True,
                     last_activation: Optional[str] = None,
                     compute_dtype=jnp.float32,
-                    impl: str = "xla") -> jax.Array:
+                    impl: str = "xla",
+                    remat: bool = False) -> jax.Array:
     """Forward pass. Returns NHWC images in [-1, 1] (no last activation by
     default, matching `generator_last_activation: null` in configs.yaml).
 
@@ -137,12 +138,21 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
     # First (4x4) block: single conv.
     x = pn(leaky_relu(equalized_conv2d(params["first_conv"], x, compute_dtype=compute_dtype), slope))
 
+    def block_fn(block, v):
+        v = upscale2d(v)
+        v = pn(leaky_relu(equalized_conv2d(block["conv0"], v, compute_dtype=compute_dtype), slope))
+        v = pn(leaky_relu(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype), slope))
+        return v
+    if remat:
+        # rematerialize per-block activations in the backward pass — trades
+        # FLOPs for HBM at high resolutions (1024² activations don't fit
+        # alongside the R1 double-backward otherwise)
+        block_fn = jax.checkpoint(block_fn)
+
     penultimate = x
     for i, block in enumerate(params["blocks"]):
         penultimate = x
-        x = upscale2d(x)
-        x = pn(leaky_relu(equalized_conv2d(block["conv0"], x, compute_dtype=compute_dtype), slope))
-        x = pn(leaky_relu(equalized_conv2d(block["conv1"], x, compute_dtype=compute_dtype), slope))
+        x = block_fn(block, x)
 
     out = equalized_conv2d(params["torgb"][-1], x, compute_dtype=compute_dtype)
     if scale >= 1:

@@ -49,8 +49,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with the leading axis split over `data`."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch with the leading axis split over `data`.
+
+    Single-host: a plain device_put. Multi-host (process_count > 1): the
+    host array is this process's LOCAL shard of the global batch, assembled
+    into a global array via `make_array_from_process_local_data` — each
+    host feeds only its addressable devices (the DistributedSampler
+    analog, `lib/model.py:50`)."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def replicate(tree, mesh: Mesh):

@@ -123,16 +123,21 @@ def make_train_step(cfg, scale_index: int,
         with_r1 = bool(include_r1)
     impl = str(cfg.impl)
     compute_dtype = jnp.bfloat16 if str(cfg.compute_dtype) == "bfloat16" else jnp.float32
+    remat_cfg = cfg["remat"] if "remat" in cfg else "auto"
+    # 'auto': rematerialize from 512×512 up, where activations no longer
+    # fit HBM next to the R1 double-backward
+    remat = (remat_cfg is True) or (remat_cfg == "auto" and scale_index >= 7)
 
     def g_apply(params, z, alpha):
         return generator_apply(
             params, z, alpha, slope=slope, apply_pixel_norm=apply_pn,
-            last_activation=last_act, compute_dtype=compute_dtype, impl=impl)
+            last_activation=last_act, compute_dtype=compute_dtype, impl=impl,
+            remat=remat)
 
     def d_apply(params, img, alpha):
         return discriminator_apply(
             params, img, alpha, slope=slope, apply_minibatch_norm=apply_mbn,
-            compute_dtype=compute_dtype, impl=impl)
+            compute_dtype=compute_dtype, impl=impl, remat=remat)
 
     def _step(state: TrainState, img_real: jax.Array, alpha: jax.Array,
               apply_r1):

@@ -221,7 +221,14 @@ class ProgressiveGANTrainer:
         return images
 
     def fit(self, run_id: Optional[str] = None, *, max_step: Optional[int] = None):
-        """The full training loop (`train.py:39-66`)."""
+        """The full training loop (`train.py:39-66`) with preemption
+        handling: SIGTERM/SIGINT checkpoint the full state (params, opt
+        moments, schedule) before exiting, so a restart with
+        `--ckpt_id {run_id}` resumes exactly — the failure-recovery
+        capability the reference lacks (SURVEY.md §5: its only resilience
+        is a try/except that then crashes)."""
+        import signal
+
         cfg = self.cfg
         if run_id is not None:
             cfg.run_id = run_id
@@ -233,8 +240,20 @@ class ProgressiveGANTrainer:
         if max_step is not None:
             total = min(total, max_step)
 
+        interrupted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            interrupted["flag"] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:       # non-main thread
+                pass
+
         step = self.global_step
-        while step < total:
+        while step < total and not interrupted["flag"]:
             self.check_jump(step)
             images = self.train_step()
 
@@ -253,6 +272,11 @@ class ProgressiveGANTrainer:
             self.global_step = step
         if self.is_master:
             self.save_checkpoint(step)
+            if interrupted["flag"]:
+                print(f"[pggan_tpu] interrupted at step {step}; state "
+                      f"checkpointed — resume with --ckpt_id {cfg.run_id}")
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
         return self
 
     # -- io -------------------------------------------------------------------

@@ -144,6 +144,77 @@ class SyntheticDataset:
         return img
 
 
+class PairedFaceDataset:
+    """Source/target face pairs for face-swap training — the
+    `FaceDatasetTrain` analog (`lib/dataset.py:9-55`): with probability
+    `same_prob` the target IS the source (same_person=1), otherwise a
+    random image from a random root. Fixed 256×256 resize like the
+    reference. Returns (Xs, Xt, same_person) as uint8/uint8/int."""
+
+    def __init__(self, dataset_root_list: Sequence[str], *,
+                 is_master: bool = False, same_prob: float = 0.2,
+                 resolution: int = 256):
+        self.paths = list_image_paths(dataset_root_list)
+        if not self.paths:
+            raise FileNotFoundError(
+                f"no images found under {list(dataset_root_list)!r}")
+        self.same_prob = same_prob
+        self.resolution = resolution
+        if is_master:
+            print(f"Dataset of {len(self)} images constructed for the training.")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, path: str, rng: np.random.RandomState) -> np.ndarray:
+        img = Image.open(path).convert("RGB")
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        if rng.rand() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        img = _apply_color_jitter(img, rng)
+        return np.asarray(img, dtype=np.uint8)
+
+    def get(self, index: int, rng: np.random.RandomState):
+        src_path = self.paths[index % len(self.paths)]
+        xs = self._load(src_path, rng)
+        if rng.rand() > self.same_prob:
+            xt = self._load(self.paths[rng.randint(len(self.paths))], rng)
+            same = 0
+        else:
+            xt = self._load(src_path, rng)
+            same = 1
+        return xs, xt, same
+
+
+class PairedValidDataset:
+    """Fixed source/target validation pairs — the `FaceDatasetValid` analog
+    (`lib/dataset.py:57-83`): sorted {root}/source/* and {root}/target/*,
+    length = min of the two, resize only (no augmentation)."""
+
+    def __init__(self, valid_data_dir: str, *, is_master: bool = False,
+                 resolution: int = 256):
+        self.source_paths = sorted(
+            list_image_paths([os.path.join(valid_data_dir, "source")]))
+        self.target_paths = sorted(
+            list_image_paths([os.path.join(valid_data_dir, "target")]))
+        self.n = min(len(self.source_paths), len(self.target_paths))
+        self.resolution = resolution
+        if is_master:
+            print(f"Dataset of {self.n} images constructed for the validation.")
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _load(self, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB")
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+    def get(self, index: int, rng=None):
+        return (self._load(self.source_paths[index]),
+                self._load(self.target_paths[index]))
+
+
 def split_dataset(n: int, train_frac: float = 0.7, seed: int = 42
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """70/30 random split of indices (reference `pggan/model.py:123-126`;

@@ -1,0 +1,192 @@
+"""Feature-extraction backbones — `submodel/resnet.py` and
+`submodel/arcface.py` analogs.
+
+These sit OFF the PGGAN training path in the reference (nothing imports
+them at runtime, SURVEY.md §2d) but are part of its capability surface:
+ResNet-18 (the BiSeNet context path's backbone, `submodel/resnet.py:10-89`)
+and the IR-SE ArcFace face-ID embedder (`submodel/arcface.py:89-118`).
+Functional JAX, NHWC, plain-dict params; weights loadable from a local npz
+via `pggan_tpu.utils.checkpoint.arrays_to_tree` (no pretrained downloads in
+this environment — fixed-seed init by default, so they double as
+deterministic metric backbones).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pggan_tpu.ops.basic import downscale2d
+
+
+def _conv_init(rng, cin, cout, k):
+    fan_in = cin * k * k
+    w = jax.random.normal(rng, (k, k, cin, cout)) * math.sqrt(2.0 / fan_in)
+    return {"w": w}
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def _conv(p, x, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn(p, x, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps) * p["scale"]
+    return x * inv + (p["bias"] - p["mean"] * inv)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-18
+# ---------------------------------------------------------------------------
+
+def init_resnet18(rng: jax.Array, *, input_dim: int = 3) -> Dict[str, Any]:
+    """Standard ResNet-18: 7×7/2 stem + maxpool + 4 stages of 2 basic
+    blocks (64/128/256/512), strides (1,2,2,2) (`submodel/resnet.py:10-60`).
+    """
+    params: Dict[str, Any] = {
+        "stem": {**_conv_init(jax.random.fold_in(rng, 0), input_dim, 64, 7),
+                 "bn": _bn_init(64)},
+        "stages": [],
+    }
+    widths = [64, 128, 256, 512]
+    c_in = 64
+    for s, width in enumerate(widths):
+        stage = []
+        for b in range(2):
+            k = jax.random.fold_in(rng, 100 * (s + 1) + b)
+            stride = 2 if (s > 0 and b == 0) else 1
+            block = {
+                "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, width, 3),
+                "bn1": _bn_init(width),
+                "conv2": _conv_init(jax.random.fold_in(k, 1), width, width, 3),
+                "bn2": _bn_init(width),
+                "stride": stride,
+            }
+            if stride != 1 or c_in != width:
+                block["down"] = _conv_init(jax.random.fold_in(k, 2), c_in, width, 1)
+                block["down_bn"] = _bn_init(width)
+            stage.append(block)
+            c_in = width
+        params["stages"].append(stage)
+    return params
+
+
+def resnet18_apply(params: Dict[str, Any], x: jax.Array,
+                   *, return_stages: bool = False):
+    """Returns the final feature map [B, H/32, W/32, 512], or the
+    (stage2, stage3, stage4) pyramid the BiSeNet context path consumes
+    (`submodel/resnet.py:70-82` returns feat8/16/32)."""
+    y = _conv(params["stem"], x, stride=2)
+    y = jax.nn.relu(_bn(params["stem"]["bn"], y))
+    # 3×3/2 maxpool
+    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), "SAME")
+    feats: List[jax.Array] = []
+    for stage in params["stages"]:
+        for block in stage:
+            stride = block["stride"]
+            h = jax.nn.relu(_bn(block["bn1"], _conv(block["conv1"], y, stride)))
+            h = _bn(block["bn2"], _conv(block["conv2"], h))
+            skip = y
+            if "down" in block:
+                skip = _bn(block["down_bn"], _conv(block["down"], y, stride))
+            y = jax.nn.relu(h + skip)
+        feats.append(y)
+    if return_stages:
+        return feats[1], feats[2], feats[3]     # 1/8, 1/16, 1/32
+    return y
+
+
+# ---------------------------------------------------------------------------
+# IR-SE (ArcFace) embedder
+# ---------------------------------------------------------------------------
+
+def _linear_init(rng, din, dout):
+    w = jax.random.normal(rng, (din, dout)) * math.sqrt(1.0 / din)
+    return {"w": w, "b": jnp.zeros((dout,))}
+
+
+_IRSE_STAGES = {
+    50: [(64, 3), (128, 4), (256, 14), (512, 3)],
+    100: [(64, 3), (128, 13), (256, 30), (512, 3)],
+    152: [(64, 3), (128, 8), (256, 36), (512, 3)],
+}
+
+
+def init_irse(rng: jax.Array, *, num_layers: int = 50, input_dim: int = 3,
+              embedding_dim: int = 512, input_size: int = 112
+              ) -> Dict[str, Any]:
+    """IR-SE ResNet (ArcFace backbone, `submodel/arcface.py:89-118`):
+    3×3 stem, bottleneck-IR-SE blocks with squeeze-excitation, final
+    flatten → linear embedding (l2-normalized at apply time)."""
+    assert num_layers in _IRSE_STAGES
+    params: Dict[str, Any] = {
+        "stem": {**_conv_init(jax.random.fold_in(rng, 0), input_dim, 64, 3),
+                 "bn": _bn_init(64)},
+        "stages": [],
+    }
+    c_in = 64
+    for s, (width, count) in enumerate(_IRSE_STAGES[num_layers]):
+        stage = []
+        for b in range(count):
+            k = jax.random.fold_in(rng, 1000 * (s + 1) + b)
+            stride = 2 if b == 0 else 1
+            se_dim = max(width // 16, 1)
+            block = {
+                "bn0": _bn_init(c_in),
+                "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, width, 3),
+                "bn1": _bn_init(width),
+                "conv2": _conv_init(jax.random.fold_in(k, 1), width, width, 3),
+                "bn2": _bn_init(width),
+                "se_fc1": _linear_init(jax.random.fold_in(k, 2), width, se_dim),
+                "se_fc2": _linear_init(jax.random.fold_in(k, 3), se_dim, width),
+                "stride": stride,
+            }
+            if stride != 1 or c_in != width:
+                block["down"] = _conv_init(jax.random.fold_in(k, 4), c_in, width, 1)
+                block["down_bn"] = _bn_init(width)
+            stage.append(block)
+            c_in = width
+        params["stages"].append(stage)
+    feat_side = input_size // 16
+    params["head"] = _linear_init(jax.random.fold_in(rng, 7),
+                                  512 * feat_side * feat_side, embedding_dim)
+    return params
+
+
+def _prelu(x, slope=0.25):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def irse_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """NHWC face crop → l2-normalized embedding [B, 512]
+    (`arcface.py:100-118`: output_layer then l2_norm)."""
+    y = _prelu(_bn(params["stem"]["bn"], _conv(params["stem"], x)))
+    for stage in params["stages"]:
+        for block in stage:
+            h = _bn(block["bn0"], y)
+            h = _prelu(_bn(block["bn1"], _conv(block["conv1"], h)))
+            h = _bn(block["bn2"], _conv(block["conv2"], h, block["stride"]))
+            # squeeze-excitation
+            se = jnp.mean(h, axis=(1, 2))
+            se = jax.nn.relu(se @ block["se_fc1"]["w"] + block["se_fc1"]["b"])
+            se = jax.nn.sigmoid(se @ block["se_fc2"]["w"] + block["se_fc2"]["b"])
+            h = h * se[:, None, None, :]
+            skip = y
+            if "down" in block:
+                skip = _bn(block["down_bn"], _conv(block["down"], y, block["stride"]))
+            elif block["stride"] != 1:
+                skip = downscale2d(y, block["stride"])
+            y = h + skip
+    y = y.transpose(0, 3, 1, 2).reshape(y.shape[0], -1)   # torch flatten order
+    emb = y @ params["head"]["w"] + params["head"]["b"]
+    return emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True) + 1e-10)

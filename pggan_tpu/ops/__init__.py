@@ -23,4 +23,15 @@ from pggan_tpu.ops.equalized import (  # noqa: F401
     init_linear_params,
     he_constant,
 )
-from pggan_tpu.ops.resample import upfirdn2d, setup_filter, filter2d  # noqa: F401
+from pggan_tpu.ops.resample import (  # noqa: F401
+    upfirdn2d,
+    setup_filter,
+    filter2d,
+    upsample2d,
+    downsample2d,
+)
+from pggan_tpu.ops.composite import (  # noqa: F401
+    filtered_lrelu,
+    conv2d_resample,
+    grid_sample,
+)

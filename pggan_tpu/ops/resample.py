@@ -98,11 +98,15 @@ def upfirdn2d(x: jax.Array, f: Optional[jax.Array], *, up: int = 1,
     kernel = jnp.tile(eff[:, :, None, None].astype(x.dtype), (1, 1, 1, c))
     kernel = kernel.reshape(fh, fw, 1, c)
 
-    # Negative pads are crops; lax.conv supports negative explicit padding.
+    # lhs_dilation inserts zeros BETWEEN samples → size (n-1)·up+1, while
+    # the reference's zero-insertion upsample appends (up-1) trailing zeros
+    # per sample → size n·up (`upfirdn2d.py:184-187`). Fold the missing
+    # trailing zeros into the conv's trailing padding. Negative pads are
+    # crops; lax.conv supports negative explicit padding.
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(downy, downx),
-        padding=((pady0, pady1), (padx0, padx1)),
+        padding=((pady0, pady1 + (upy - 1)), (padx0, padx1 + (upx - 1))),
         lhs_dilation=(upy, upx),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,

@@ -103,6 +103,34 @@ class TestPipeline:
             assert next(pipe).dtype == np.float32
 
 
+class TestPairedDatasets:
+    def test_paired_train(self, image_dir):
+        from pggan_tpu.data import PairedFaceDataset
+        ds = PairedFaceDataset([image_dir], same_prob=1.0, resolution=32)
+        xs, xt, same = ds.get(0, np.random.RandomState(0))
+        assert xs.shape == (32, 32, 3) and xt.shape == (32, 32, 3)
+        assert same == 1
+
+    def test_paired_same_prob_zero(self, image_dir):
+        from pggan_tpu.data import PairedFaceDataset
+        ds = PairedFaceDataset([image_dir], same_prob=0.0, resolution=16)
+        sames = [ds.get(i, np.random.RandomState(i))[2] for i in range(10)]
+        assert all(s == 0 for s in sames)
+
+    def test_paired_valid(self, tmp_path):
+        from pggan_tpu.data import PairedValidDataset
+        rs = np.random.RandomState(0)
+        for sub in ("source", "target"):
+            (tmp_path / "v" / sub).mkdir(parents=True)
+            for i in range(3):
+                Image.fromarray(rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                                ).save(tmp_path / "v" / sub / f"{i}.png")
+        ds = PairedValidDataset(str(tmp_path / "v"), resolution=16)
+        assert len(ds) == 3
+        xs, xt = ds.get(0)
+        assert xs.shape == (16, 16, 3) and xt.shape == (16, 16, 3)
+
+
 class TestBuildDataset:
     def test_auto_falls_back_to_synthetic(self):
         cfg = Config({"dataset_root_list": ["/nonexistent"]})

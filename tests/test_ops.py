@@ -182,11 +182,22 @@ class TestUpfirdn2d:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
     def test_zero_insert_upsample(self):
+        # reference semantics: n·up output incl. trailing zeros
+        # (upfirdn2d.py:184-187)
         x = jnp.asarray(rand(1, 2, 2, 1))
-        got = np.asarray(upfirdn2d(x, jnp.ones((1, 1)), up=2, padding=(0, 1, 0, 1)))
+        got = np.asarray(upfirdn2d(x, jnp.ones((1, 1)), up=2))
         assert got.shape == (1, 4, 4, 1)
         np.testing.assert_allclose(got[0, 0, 0, 0], np.asarray(x)[0, 0, 0, 0], rtol=1e-6)
         np.testing.assert_allclose(got[0, 0, 1, 0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(got[0, 3, 3, 0], 0.0, atol=1e-7)  # trailing
+
+    def test_upsample_box_filter_matches_nearest(self):
+        # up=2 with a [1,1] box filter ≡ nearest-neighbor upscale
+        x = jnp.asarray(rand(1, 4, 4, 3, seed=6))
+        f = jnp.ones((2, 2), jnp.float32)
+        got = np.asarray(upfirdn2d(x, f, up=2, padding=(1, 0, 1, 0)))
+        want = np.asarray(upscale2d(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
     def test_differentiable(self):
         x = jnp.asarray(rand(1, 4, 4, 2))

@@ -47,12 +47,8 @@ def main(argv=None):
 
     # Persistent compilation cache: the per-scale fused step compiles once
     # per (scale, shape) ever, not once per process.
-    import os
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/jax_comp_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from pggan_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from pggan_tpu.config import Config
     from pggan_tpu.models import (init_discriminator_params,

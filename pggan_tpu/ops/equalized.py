@@ -92,14 +92,20 @@ def equalized_conv2d(params: Dict[str, jax.Array], x: jax.Array, *,
     # grad-of-grad (f32 cotangent vs bf16 kernel), so only pin it when the
     # compute dtype is already f32.
     pref = jnp.float32 if dt == jnp.float32 else None
+    # The reference computes (conv(x, w) + b) · c (`lib/layers.py:58-62`).
+    # Algebraically identical: conv(x, w·c) + b·c — the He constant then
+    # touches only the (tiny) weight tensor instead of a full activation
+    # map per conv. Scaling in f32 BEFORE the bf16 cast also preserves a
+    # bit of precision.
+    w = (w.astype(jnp.float32) * scale).astype(dt)
+    b = (b.astype(jnp.float32) * scale).astype(jnp.float32)
     y = jax.lax.conv_general_dilated(
-        x.astype(dt), w.astype(dt),
+        x.astype(dt), w,
         window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=pref,
     )
-    y = (y + b.astype(y.dtype)) * scale.astype(y.dtype)
-    return y.astype(dt)
+    return (y + b.astype(y.dtype)).astype(dt)
 
 
 def equalized_linear(params: Dict[str, jax.Array], x: jax.Array, *,
@@ -108,6 +114,7 @@ def equalized_linear(params: Dict[str, jax.Array], x: jax.Array, *,
     w, b, scale = params["w"], params["b"], params["scale"]
     dt = compute_dtype or x.dtype
     pref = jnp.float32 if dt == jnp.float32 else None
-    y = jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=pref)
-    y = (y + b.astype(y.dtype)) * scale.astype(y.dtype)
-    return y.astype(dt)
+    w = (w.astype(jnp.float32) * scale).astype(dt)
+    b = (b.astype(jnp.float32) * scale).astype(jnp.float32)
+    y = jnp.dot(x.astype(dt), w, preferred_element_type=pref)
+    return (y + b.astype(y.dtype)).astype(dt)

@@ -159,38 +159,51 @@ def make_train_step(cfg, scale_index: int,
         def d_loss_fn(params_D):
             d_fn = lambda im: d_apply(params_D, im, alpha)
             if loss_mode == "r1":
-                # Single real-path forward shared between BCE and R1: the
-                # inner value_and_grad yields pred_real AND ∇ₓ in one
-                # fwd+bwd (no reliance on XLA CSE).
-                if r1_target == "logits":
-                    def f_real(im):
-                        pred = d_fn(im)
-                        return jnp.sum(pred.astype(jnp.float32)), pred
-                else:  # 'loss': the reference's literal call site
-                    def f_real(im):
-                        pred = d_fn(im)
-                        return bce_with_logits(pred, 1), pred
+                # Measured design notes (v5e, 256², batch 16):
+                #  * R1 path: real and fake forwards stay SEPARATE — batching
+                #    them would drag the fake half through the inner
+                #    value_and_grad's backward with zero cotangents
+                #    (+1 wasted bwd-at-B ≫ the fwd batching gain;
+                #    121 → 100 img/s when tried).
+                #  * No-grad path (lazy-R1 off-steps): batching real+fake
+                #    into one 2B forward is pure win. Legal only when
+                #    B % 4 == 0 so minibatch-stddev subgroups never straddle
+                #    the real/fake boundary (lib/blocks.py:204-233).
+                fuse_plain = (batch % 4 == 0) or not apply_mbn
+
+                def f_real(im):
+                    pred_r = d_fn(im)
+                    if r1_target == "logits":
+                        f = jnp.sum(pred_r.astype(jnp.float32))
+                    else:  # 'loss': the reference's literal call site
+                        f = bce_with_logits(pred_r, 1)
+                    return f, pred_r
 
                 def r1_branch(im):
-                    (_, pred), grad_im = jax.value_and_grad(
+                    (_, pred_r), grad_im = jax.value_and_grad(
                         f_real, has_aux=True)(im)
                     grad_im = grad_im.astype(jnp.float32)
                     per_sample = jnp.sum(
                         jnp.square(grad_im).reshape(grad_im.shape[0], -1), axis=1)
-                    return pred, 0.5 * jnp.mean(per_sample) * float(r1_interval)
+                    preds = (pred_r, d_fn(img_fake))
+                    return preds, 0.5 * jnp.mean(per_sample) * float(r1_interval)
 
                 def plain_branch(im):
-                    return d_fn(im), jnp.float32(0.0)
+                    if fuse_plain:
+                        pred = d_fn(jnp.concatenate([im, img_fake], axis=0))
+                        preds = (pred[:batch], pred[batch:])
+                    else:
+                        preds = (d_fn(im), d_fn(img_fake))
+                    return preds, jnp.float32(0.0)
 
                 if lazy_r1:
-                    pred_real, reg = jax.lax.cond(
+                    (pred_real, pred_fake), reg = jax.lax.cond(
                         apply_r1, r1_branch, plain_branch, img_real)
                 elif with_r1:
-                    pred_real, reg = r1_branch(img_real)
+                    (pred_real, pred_fake), reg = r1_branch(img_real)
                 else:
-                    pred_real, reg = plain_branch(img_real)
+                    (pred_real, pred_fake), reg = plain_branch(img_real)
 
-                pred_fake = d_fn(img_fake)
                 l_real = bce_with_logits(pred_real, 1)
                 l_fake = bce_with_logits(pred_fake, 0)
                 loss = l_real + l_fake + reg

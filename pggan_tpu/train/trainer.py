@@ -61,6 +61,8 @@ class ProgressiveGANTrainer:
     `CreateModel` analog, `lib/model_loader.py:4-37`) or directly."""
 
     def __init__(self, cfg: Config):
+        from pggan_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         # Single-process SPMD: "master" is process 0 (multi-host) — there
         # is no per-GPU process hierarchy to manage (`lib/model_loader.py:5`).

@@ -1,0 +1,77 @@
+"""Exact fusion of nearest-upsample + 3×3 conv (the generator block head).
+
+The reference G block computes `conv3x3(upscale2d(x))`
+(`lib/blocks.py:145-149`): materialize a 4×-larger tensor, then convolve
+at high resolution. Because nearest-neighbor upsampling duplicates pixels,
+that composition is EXACTLY a 3×3 convolution on the LOW-RES tensor with a
+transformed kernel producing 4·C_out channels (one group per output
+subpixel), followed by a depth-to-space interleave:
+
+  y[2i+a, 2j+b] = Σ_{u,v} w[u,v] · x_up[2i+a+u-1, 2j+b+v-1]
+               = Σ_{oy,ox} K_ab[oy,ox] · x[i+oy, j+ox]
+  with K_ab = M_a · w · M_bᵀ   (per in/out channel pair), where the 1-D
+  tap-merge matrices (offset rows −1,0,+1 × tap columns 0,1,2) are
+      M_0 = [[1,0,0],[0,1,1],[0,0,0]]    (subpixel 0: taps {-1, 0})
+      M_1 = [[0,0,0],[1,1,0],[0,0,1]]    (subpixel 1: taps {0, +1})
+
+Same total FLOPs, but the conv executes at quarter resolution with 4×
+output channels — full MXU lane utilization where the plain form runs
+≤64-channel convs — and the 4× upscaled intermediate never touches HBM.
+Boundary behavior matches SAME padding on the upscaled tensor exactly.
+
+The weight transform is traced inside the step (runs on the tiny weight
+tensor); parameters stay in reference layout, so checkpoints and parity
+are untouched. Gradients flow through the transform natively.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 1-D tap-merge matrices, rows = low-res offsets (-1, 0, +1), cols = taps.
+_M0 = np.array([[1, 0, 0], [0, 1, 1], [0, 0, 0]], np.float32)
+_M1 = np.array([[0, 0, 0], [1, 1, 0], [0, 0, 1]], np.float32)
+
+
+def _transform_kernel(w: jax.Array) -> jax.Array:
+    """[3,3,Cin,Cout] → [3,3,Cin,4·Cout], subpixel groups ordered (a,b)
+    row-major so depth_to_space can reshape [..., 2, 2, Cout]."""
+    ms = [jnp.asarray(_M0, w.dtype), jnp.asarray(_M1, w.dtype)]
+    groups = []
+    for a in (0, 1):
+        for b in (0, 1):
+            # K_ab[oy, ox, i, o] = Σ_{u,v} M_a[oy,u] · w[u,v,i,o] · M_b[ox,v]
+            groups.append(jnp.einsum("yu,uvio,xv->yxio", ms[a], w, ms[b]))
+    return jnp.concatenate(groups, axis=-1)
+
+
+def depth_to_space2(x: jax.Array) -> jax.Array:
+    """[B,h,w,4C] with (a,b)-row-major groups → [B,2h,2w,C]."""
+    bsz, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(bsz, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)            # B, h, a, w, b, c
+    return x.reshape(bsz, 2 * h, 2 * w, c)
+
+
+def upscale_conv3x3(params: Dict[str, jax.Array], x: jax.Array, *,
+                    compute_dtype=None) -> jax.Array:
+    """Exactly `equalized_conv2d(params, upscale2d(x))` for a 3×3 SAME
+    conv, computed at low resolution. params in the standard equalized
+    format {w: [3,3,Cin,Cout], b, scale}."""
+    w, b, scale = params["w"], params["b"], params["scale"]
+    dt = compute_dtype or x.dtype
+    w = (w.astype(jnp.float32) * scale)
+    b = (b.astype(jnp.float32) * scale)
+    wt = _transform_kernel(w).astype(dt)
+    pref = jnp.float32 if dt == jnp.float32 else None
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), wt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref)
+    y = y + jnp.tile(b, 4).astype(y.dtype)
+    return depth_to_space2(y).astype(dt)

@@ -31,6 +31,47 @@ class TestResNet18:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestBiSeNet:
+    def test_output_shape(self):
+        from pggan_tpu.models.faceparser import init_bisenet, bisenet_apply
+        p = init_bisenet(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 64, 64, 3))
+        out = bisenet_apply(p, x)
+        assert out.shape == (1, 64, 64, 19)
+
+    def test_finite_and_classes_configurable(self):
+        from pggan_tpu.models.faceparser import init_bisenet, bisenet_apply
+        p = init_bisenet(jax.random.PRNGKey(1), n_classes=5)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+        out = bisenet_apply(p, x)
+        assert out.shape == (2, 32, 32, 5)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestE4E:
+    def test_latent_shapes(self):
+        from pggan_tpu.models.e4e import init_e4e_encoder, e4e_encoder_apply
+        p = init_e4e_encoder(jax.random.PRNGKey(0), n_styles=18)
+        x = jnp.zeros((2, 256, 256, 3))
+        lat = e4e_encoder_apply(p, x)
+        assert lat.shape == (2, 18, 512)
+
+    def test_progressive_stage_gating(self):
+        from pggan_tpu.models.e4e import init_e4e_encoder, e4e_encoder_apply
+        p = init_e4e_encoder(jax.random.PRNGKey(1), n_styles=6)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 256, 256, 3),
+                        jnp.float32)
+        lat0 = e4e_encoder_apply(p, x, progressive_stage=0)
+        # stage 0: every slot equals w0
+        for i in range(1, 6):
+            np.testing.assert_allclose(np.asarray(lat0[:, i]),
+                                       np.asarray(lat0[:, 0]), rtol=1e-5)
+        lat2 = e4e_encoder_apply(p, x, progressive_stage=2)
+        assert not np.allclose(np.asarray(lat2[:, 1]), np.asarray(lat2[:, 0]))
+        np.testing.assert_allclose(np.asarray(lat2[:, 5]),
+                                   np.asarray(lat2[:, 0]), rtol=1e-5)
+
+
 class TestIRSE:
     def test_embedding_normalized(self):
         p = init_irse(jax.random.PRNGKey(0), num_layers=50, input_size=32)

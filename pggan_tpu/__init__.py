@@ -19,3 +19,4 @@ Design notes (vs. the reference):
 __version__ = "0.1.0"
 
 from pggan_tpu.config import Config  # noqa: F401
+from pggan_tpu.registry import create_model, register_model, MODEL_REGISTRY  # noqa: F401

@@ -179,13 +179,15 @@ class Config:
         return out
 
     # -- persistence ---------------------------------------------------------
-    def save_yaml(self, path: str):
-        """Snapshot the (current, merged) config into the run directory.
+    def save_yaml(self, path: Optional[str] = None):
+        """Snapshot the effective (merged) config into the run directory.
 
-        Unlike the reference (which shutil-copies the source yaml,
-        `lib/config.py:15-16`), we serialize the effective config so resumed
-        runs record overrides too.
+        Unlike the reference (which shutil-copies the source yaml file,
+        `lib/config.py:15-16`), we serialize the merged config so resumed
+        runs record CLI overrides too; the source `path` is accepted for
+        API compatibility but not needed.
         """
+        del path  # API compatibility with the reference signature
         run_dir = os.path.join(str(self.save_root), str(self.run_id))
         os.makedirs(run_dir, exist_ok=True)
         out_path = os.path.join(run_dir, f"config_{self.run_id}.yaml")

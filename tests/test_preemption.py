@@ -1,0 +1,164 @@
+"""Failure-recovery tests: SIGTERM checkpoint-then-exit and exact resume."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_cfg(tmp_path, **over):
+    cfg = {
+        "model_id": "pggan",
+        "use_mGPU": False,
+        "dataset_root_list": [],
+        "save_root": str(tmp_path / "results"),
+        "depths": [16, 16, 8],
+        "latent_dim": 32,
+        "batch_per_gpu": 8,
+        "max_step_at_scale": [30, 40, 40],
+        "alpha_jump_start": [-1, 5, 5],
+        "alpha_jump_interval": [0, 2, 2],
+        "alpha_jump_Ntimes": [0, 5, 5],
+        "loss_cycle": 5,
+        "test_cycle": 1000,
+        "ckpt_cycle": 1000,
+        "data_backend": "synthetic",
+        "synthetic_dataset_size": 64,
+        "num_data_workers": 2,
+        **over,
+    }
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path), cfg
+
+
+def run_train(args, *, timeout=240, sigterm_after=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "train.py"), *args],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    if sigterm_after is not None:
+        time.sleep(sigterm_after)
+        proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=timeout)
+    return proc.returncode, out
+
+
+class TestPreemption:
+    def test_sigterm_checkpoints_and_resumes(self, tmp_path):
+        # unbounded-ish budget so the run can't finish before the signal;
+        # wait for the first loss print (loop is live) before SIGTERM
+        cfg_path, cfg = write_cfg(tmp_path, max_step_at_scale=[5000, 5000])
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "train.py"), "pre",
+             "--config", cfg_path, "--max_step", "5000"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        lines = []
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "lossD" in line:          # training loop is live
+                break
+        time.sleep(2)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+        out = "".join(lines) + out
+        rc = proc.returncode
+        assert rc == 0, out
+        assert "interrupted" in out, out
+
+        ckpt_dir = os.path.join(cfg["save_root"], "pre", "ckpt")
+        files = os.listdir(ckpt_dir)
+        assert "G_latest.npz" in files and "D_latest.npz" in files
+
+        # what step did we stop at?
+        from pggan_tpu.utils.checkpoint import load_checkpoint
+        _, _, meta = load_checkpoint(cfg["save_root"], "pre", "G", None)
+        stopped = meta["global_step"]
+        assert 0 < stopped < 5000, f"stopped at {stopped}"
+
+        # resume to completion
+        rc, out = run_train(["pre2", "--config", cfg_path,
+                             "--ckpt_id", "pre", "--max_step", str(stopped + 5)])
+        assert rc == 0, out
+        _, _, meta2 = load_checkpoint(cfg["save_root"], "pre2", "G", None)
+        assert meta2["global_step"] == stopped + 5
+        # schedule state carried over
+        assert meta2["schedule"]["scale_index"] >= meta["schedule"]["scale_index"]
+
+
+class TestResumeAtJumpBoundary:
+    def test_checkpoint_saved_exactly_at_jump_step(self, tmp_path):
+        # save at the exact step where next_scale_jump fires on resume:
+        # the restored trainer must grow on its first check_jump.
+        from pggan_tpu import Config
+        from pggan_tpu.registry import create_model
+
+        cfg = Config({
+            "depths": [16, 16, 8], "latent_dim": 32, "batch_per_gpu": 1,
+            "max_step_at_scale": [6, 8, 8],
+            "alpha_jump_start": [-1, 2, 2],
+            "alpha_jump_interval": [0, 1, 1],
+            "alpha_jump_Ntimes": [0, 3, 3],
+            "loss_cycle": 100, "test_cycle": 1000, "ckpt_cycle": 1000,
+            "save_root": str(tmp_path / "r"), "data_backend": "synthetic",
+            "synthetic_dataset_size": 32, "num_data_workers": 1,
+            "use_mGPU": True,
+        })
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("jump", max_step=6)       # stops AT the jump step
+            assert trainer.schedule.scale_index == 0
+            assert trainer.schedule.next_scale_jump_step == 6
+        finally:
+            trainer.close()
+
+        cfg2 = Config({**cfg.to_dict(), "ckpt_id": "jump"})
+        trainer2 = create_model(cfg2)
+        try:
+            assert trainer2.global_step == 6
+            assert trainer2.schedule.scale_index == 0     # not yet grown
+            trainer2.fit("jump2", max_step=8)
+            assert trainer2.schedule.scale_index == 1     # grew at step 6
+            assert trainer2.schedule.resolution == 8
+        finally:
+            trainer2.close()
+
+
+class TestLazyEdgeCases:
+    def test_lazy_r1_batch_not_divisible_by_4(self):
+        import jax
+        import jax.numpy as jnp
+        from pggan_tpu import Config
+        from pggan_tpu.models import (init_generator_params,
+                                      init_discriminator_params)
+        from pggan_tpu.train.step import (init_train_state, make_optimizers,
+                                          make_train_step)
+        cfg = Config({"depths": [16, 16], "latent_dim": 32,
+                      "r1_interval": 4, "donate_buffers": False})
+        kg, kd, ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        pG = init_generator_params(kg, latent_dim=32, depths=cfg.depths)
+        pD = init_discriminator_params(kd, depths=cfg.depths)
+        og, od = make_optimizers(cfg)
+        st = init_train_state(ks, pG, pD, og, od)
+        fn = make_train_step(cfg, 0, og, od)
+        img = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, (6, 4, 4, 3), dtype=np.uint8))      # B=6: no fusing
+        st, m_on, _ = fn(st, img, jnp.float32(0.0), True)
+        st, m_off, _ = fn(st, img, jnp.float32(0.0), False)
+        assert np.isfinite(float(m_on["L_D"]))
+        assert float(m_off["L_D_r1"]) == 0.0

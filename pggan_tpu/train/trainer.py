@@ -83,6 +83,10 @@ class ProgressiveGANTrainer:
         self.logger: Optional[MetricLogger] = None
         self._step_fn = None
         self._r1_interval = 1
+        from concurrent.futures import ThreadPoolExecutor
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="pggan-ckpt")
+        self._ckpt_future = None
         self._pipeline: Optional[DataPipeline] = None
         self._valid_pipeline: Optional[DataPipeline] = None
         self._train_indices = None
@@ -273,7 +277,7 @@ class ProgressiveGANTrainer:
             step += 1
             self.global_step = step
         if self.is_master:
-            self.save_checkpoint(step)
+            self.save_checkpoint(step, wait=True)
             if interrupted["flag"]:
                 print(f"[pggan_tpu] interrupted at step {step}; state "
                       f"checkpointed — resume with --ckpt_id {cfg.run_id}")
@@ -310,19 +314,40 @@ class ProgressiveGANTrainer:
         if self.logger is not None:
             self.logger.log(step, {"valid_D_real": float(jnp.mean(logits))})
 
-    def save_checkpoint(self, global_step: int):
+    def save_checkpoint(self, global_step: int, *, wait: bool = False):
         """Params + optimizer state + schedule + args, per net
-        (`pggan/model.py:50-67`)."""
+        (`pggan/model.py:50-67`).
+
+        Async by design (the orbax-async analog): the pytrees are
+        device-copied (fast HBM copy — safe against buffer donation by the
+        next step), then the device→host transfer and npz write run on a
+        background thread so the training loop never stalls on checkpoint
+        I/O. `wait=True` (final save / tests) blocks until durable.
+        """
         meta = {
             "args": self.cfg.to_dict(),
             "schedule": self.schedule.state_dict(),
         }
-        for name, params, opt_state in (
-                ("G", self.state.params_G, self.state.opt_state_G),
-                ("D", self.state.params_D, self.state.opt_state_D)):
-            ckpt_lib.save_checkpoint(
-                self.cfg.save_root, self.cfg.run_id, name, global_step,
-                params=params, opt_state=opt_state, meta=meta)
+        # Device-side snapshot: new buffers, immune to donation of the
+        # live state by subsequent steps.
+        snapshot = jax.tree.map(
+            lambda x: jnp.copy(x),
+            ((self.state.params_G, self.state.opt_state_G),
+             (self.state.params_D, self.state.opt_state_D)))
+
+        def _write():
+            (p_g, o_g), (p_d, o_d) = snapshot
+            for name, params, opt_state in (("G", p_g, o_g), ("D", p_d, o_d)):
+                ckpt_lib.save_checkpoint(
+                    self.cfg.save_root, self.cfg.run_id, name, global_step,
+                    params=params, opt_state=opt_state, meta=meta)
+
+        if self._ckpt_future is not None:
+            self._ckpt_future.result()      # serialize saves, surface errors
+        self._ckpt_future = self._ckpt_pool.submit(_write)
+        if wait:
+            self._ckpt_future.result()
+            self._ckpt_future = None
 
     def load_checkpoint(self):
         """Restore args + schedule, re-grow both nets to the saved scale,
@@ -370,6 +395,13 @@ class ProgressiveGANTrainer:
                   f"alpha={self.schedule.alpha})")
 
     def close(self):
+        if self._ckpt_future is not None:
+            try:
+                self._ckpt_future.result()
+            except Exception as exc:
+                print(f"[pggan_tpu] async checkpoint failed: {exc!r}")
+            self._ckpt_future = None
+        self._ckpt_pool.shutdown(wait=True)
         if self._pipeline is not None:
             self._pipeline.close()
         if self._valid_pipeline is not None:

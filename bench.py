@@ -57,7 +57,8 @@ def main(argv=None):
     from pggan_tpu.train.step import (init_train_state, make_optimizers,
                                       make_train_step)
 
-    depths = [512, 512, 512, 512, 256, 128, 64]
+    # reference default depths up to 256²; 9-scale extension for 512/1024
+    depths = [512, 512, 512, 512, 256, 128, 64, 32, 16][:max(ns.scale + 1, 7)]
     scale = ns.scale
     res = 2 ** (scale + 2)
     devices = jax.devices()

@@ -110,7 +110,16 @@ class ImageFolderDataset:
     def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
         path = self.paths[index % len(self.paths)]
         if self._native is not None:
-            return self._native.load(path, rng if self.augment else None)
+            try:
+                return self._native.load(path, rng if self.augment else None)
+            except IOError:
+                # libjpeg/libpng rejects some variants PIL handles (CMYK
+                # JPEGs, exotic PNGs) — per-image PIL fallback instead of
+                # killing the pipeline mid-run
+                if not getattr(self, "_warned_fallback", False):
+                    self._warned_fallback = True
+                    print(f"[pggan_tpu.data] native decode failed for "
+                          f"{path!r}; using PIL for such images")
         img = Image.open(path).convert("RGB")
         # torchvision Resize((s, s)) default interpolation is bilinear.
         img = img.resize((self.resolution, self.resolution), Image.BILINEAR)

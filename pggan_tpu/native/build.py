@@ -39,16 +39,22 @@ def _cache_path() -> str:
 def _build() -> Optional[ctypes.CDLL]:
     so_path = _cache_path()
     if not os.path.exists(so_path):
-        cmd = ["g++", *_FLAGS, _SRC, "-o", so_path + ".tmp", *_LIBS]
+        # PID-unique temp: concurrent cold-cache builds must not interleave
+        # writes into the same output file
+        tmp = f"{so_path}.{os.getpid()}.tmp"
+        cmd = ["g++", *_FLAGS, _SRC, "-o", tmp, *_LIBS]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(so_path + ".tmp", so_path)
+            os.replace(tmp, so_path)       # atomic publish; last writer wins
         except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
                 FileNotFoundError) as exc:
             msg = getattr(exc, "stderr", b"")
             print(f"[pggan_tpu.native] build failed ({exc}); "
                   f"{msg[:500] if msg else ''} — falling back to PIL loader")
             return None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     lib = ctypes.CDLL(so_path)
     lib.pggan_load_image.restype = ctypes.c_int
     lib.pggan_load_image.argtypes = [

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from pggan_tpu.ops.basic import bias_act
-from pggan_tpu.ops.resample import _parse_padding, upfirdn2d
+from pggan_tpu.ops.resample import upfirdn2d
 
 
 def filtered_lrelu(x: jax.Array, fu: Optional[jax.Array] = None,
@@ -39,34 +39,23 @@ def filtered_lrelu(x: jax.Array, fu: Optional[jax.Array] = None,
                    down: int = 1, padding=0, gain: float = 2 ** 0.5,
                    slope: float = 0.2, clamp: Optional[float] = None,
                    impl: str = "xla") -> jax.Array:
-    """up-filter → bias+leaky-relu(+gain/clamp) → down-filter, NHWC.
+    """bias → up-filter → leaky-relu(+gain/clamp) → down-filter, NHWC.
 
-    Argument semantics follow the reference op (`filtered_lrelu.py:56-116`):
-    `fu`/`fd` are the up/down FIR filters (None → box/identity per
-    upfirdn2d conventions), `padding` as int or [x0,x1,y0,y1].
+    Matches the reference op's pipeline and RAW padding semantics
+    (`filtered_lrelu.py:56-116` / `_filtered_lrelu_ref`): bias is added
+    BEFORE upsampling (a constant bias is not preserved through
+    zero-insertion filtering, so order matters), `padding` is applied
+    around the upsample stage exactly as given (int or [x0,x1,y0,y1] —
+    no automatic filter centering; output side = (in·up + px0 + px1 −
+    fu_w)/1 + 1 before the down stage), and the up stage carries the up²
+    magnitude gain.
     """
-    px0, px1, py0, py1 = _parse_padding(padding)
-    if up > 1:
-        fu_h = 1 if fu is None else fu.shape[0]
-        fu_w = 1 if fu is None else fu.shape[-1]
-        x = upfirdn2d(
-            x, fu, up=up,
-            padding=(px0 + (fu_w + up - 1) // 2, px1 + (fu_w - up) // 2,
-                     py0 + (fu_h + up - 1) // 2, py1 + (fu_h - up) // 2),
-            gain=float(up * up))
-        px0 = px1 = py0 = py1 = 0
-    x = bias_act(x, b, act="lrelu", alpha=slope, gain=gain, clamp=clamp,
+    if b is not None:
+        x = x + b.reshape((1,) * (x.ndim - 1) + (-1,)).astype(x.dtype)
+    x = upfirdn2d(x, fu, up=up, padding=padding, gain=float(up * up))
+    x = bias_act(x, None, act="lrelu", alpha=slope, gain=gain, clamp=clamp,
                  impl=impl)
-    if down > 1:
-        fd_h = 1 if fd is None else fd.shape[0]
-        fd_w = 1 if fd is None else fd.shape[-1]
-        x = upfirdn2d(
-            x, fd, down=down,
-            padding=(px0 + (fd_w - down + 1) // 2, px1 + (fd_w - down) // 2,
-                     py0 + (fd_h - down + 1) // 2, py1 + (fd_h - down) // 2))
-    elif px0 or px1 or py0 or py1:
-        x = upfirdn2d(x, None, padding=(px0, px1, py0, py1))
-    return x
+    return upfirdn2d(x, fd, down=down)
 
 
 def conv2d_resample(x: jax.Array, w: jax.Array,
@@ -81,13 +70,15 @@ def conv2d_resample(x: jax.Array, w: jax.Array,
     no filter is given (the reference's strided fast path, `:110-121`).
     `flip_weight=True` applies w as correlation (torch conv semantics).
     """
-    kh, kw = w.shape[0], w.shape[1]
+    from pggan_tpu.ops.resample import downsample2d, upsample2d
+
     if not flip_weight:
         w = jnp.flip(w, axis=(0, 1))
 
     if up > 1:
-        x = upfirdn2d(x, f, up=up, padding=_resample_pad(f, up, padding),
-                      gain=float(up * up))
+        # centered filtered upsample (shared with resample.upsample2d —
+        # one copy of the filter-centering arithmetic)
+        x = upsample2d(x, f, up=up, padding=padding)
         padding = 0
 
     stride = down if (down > 1 and f is None) else 1
@@ -97,19 +88,8 @@ def conv2d_resample(x: jax.Array, w: jax.Array,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
     if down > 1 and f is not None:
-        y = upfirdn2d(y, f, down=down,
-                      padding=((f.shape[-1] - down + 1) // 2,
-                               (f.shape[-1] - down) // 2,
-                               (f.shape[0] - down + 1) // 2,
-                               (f.shape[0] - down) // 2))
+        y = downsample2d(y, f, down=down)
     return y
-
-
-def _resample_pad(f, up, padding):
-    fh = 1 if f is None else f.shape[0]
-    fw = 1 if f is None else f.shape[-1]
-    return (padding + (fw + up - 1) // 2, padding + (fw - up) // 2,
-            padding + (fh + up - 1) // 2, padding + (fh - up) // 2)
 
 
 def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:

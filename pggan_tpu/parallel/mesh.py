@@ -62,6 +62,17 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, sharding)
 
 
+def local_numpy(arr) -> np.ndarray:
+    """Host view of this process's addressable portion of a (possibly
+    multi-host) batch-sharded array — concatenated along the leading axis.
+    Single-host fully-addressable arrays round-trip unchanged."""
+    if hasattr(arr, "addressable_shards"):
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+        if len(shards) > 0 and shards[0].data.shape != arr.shape:
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state) over the mesh."""
     sharding = replicated_sharding(mesh)

@@ -258,38 +258,49 @@ class ProgressiveGANTrainer:
             except ValueError:       # non-main thread
                 pass
 
-        step = self.global_step
-        while step < total and not interrupted["flag"]:
-            self.check_jump(step)
-            images = self.train_step()
-
-            if self.is_master:
-                if step % cfg.loss_cycle == 0:
-                    self.loss_collector.update(self._last_metrics)
-                    self.logger.log(step, self.loss_collector.loss_dict)
-                    self.loss_collector.print_loss(step)
-                if step % cfg.test_cycle == 0:
-                    self.save_image(images, step)
-                    if cfg.use_validation:
-                        self.validation(step)
-                if step % cfg.ckpt_cycle == 0:
+        start_step = self.global_step
+        step = start_step
+        try:
+            while step < total and not interrupted["flag"]:
+                # Periodic checkpoint BEFORE the step runs: the saved state
+                # contains exactly `step` completed updates, so a resume at
+                # `step` replays nothing. (The reference saves after the
+                # step under the same label, `train.py:63-64`, silently
+                # re-executing one update per resume — documented fix.)
+                if step % cfg.ckpt_cycle == 0 and step != start_step:
                     self.save_checkpoint(step)
-            step += 1
-            self.global_step = step
-        if self.is_master:
+                self.check_jump(step)
+                images = self.train_step()
+
+                if self.is_master:
+                    if step % cfg.loss_cycle == 0:
+                        self.loss_collector.update(self._last_metrics)
+                        self.logger.log(step, self.loss_collector.loss_dict)
+                        self.loss_collector.print_loss(step)
+                    if step % cfg.test_cycle == 0:
+                        self.save_image(images, step)
+                        if cfg.use_validation:
+                            self.validation(step)
+                step += 1
+                self.global_step = step
             self.save_checkpoint(step, wait=True)
-            if interrupted["flag"]:
+            if self.is_master and interrupted["flag"]:
                 print(f"[pggan_tpu] interrupted at step {step}; state "
                       f"checkpointed — resume with --ckpt_id {cfg.run_id}")
-        for sig, handler in prev_handlers.items():
-            signal.signal(sig, handler)
+        finally:
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler if handler is not None
+                              else signal.SIG_DFL)
         return self
 
     # -- io -------------------------------------------------------------------
     def save_image(self, images, step: int):
+        from pggan_tpu.parallel.mesh import local_numpy
         real, fake = images
+        # local_numpy: on multi-host the grid shows this process's shard
+        # (global batch-sharded arrays are not host-materializable)
         save_image_grid(self.cfg.save_root, self.cfg.run_id, step, "imgs",
-                        [np.asarray(real), np.asarray(fake)])
+                        [local_numpy(real), local_numpy(fake)])
 
     def validation(self, step: int):
         """Mean D logits on a held-out batch — the reference declares a
@@ -305,6 +316,9 @@ class ProgressiveGANTrainer:
                 shard_fn=lambda b: shard_batch(b, self.mesh))
         batch = next(self._valid_pipeline)
         from pggan_tpu.models import discriminator_apply
+        from pggan_tpu.parallel.mesh import local_numpy
+        # master-local evaluation (multi-host: this process's shard)
+        batch = local_numpy(batch)
         logits = discriminator_apply(
             self.state.params_D,
             jnp.asarray(batch, jnp.float32) / 127.5 - 1.0,
@@ -323,17 +337,24 @@ class ProgressiveGANTrainer:
         next step), then the device→host transfer and npz write run on a
         background thread so the training loop never stalls on checkpoint
         I/O. `wait=True` (final save / tests) blocks until durable.
+
+        Multi-host: EVERY process must call this (the snapshot copy is an
+        SPMD program over the global mesh; `fit` does so) — only process 0
+        writes files. Params/opt state are fully replicated, so the host
+        transfer is process-local.
         """
         meta = {
             "args": self.cfg.to_dict(),
             "schedule": self.schedule.state_dict(),
         }
         # Device-side snapshot: new buffers, immune to donation of the
-        # live state by subsequent steps.
+        # live state by subsequent steps. Runs on all processes (SPMD).
         snapshot = jax.tree.map(
             lambda x: jnp.copy(x),
             ((self.state.params_G, self.state.opt_state_G),
              (self.state.params_D, self.state.opt_state_D)))
+        if not self.is_master:
+            return
 
         def _write():
             (p_g, o_g), (p_d, o_d) = snapshot

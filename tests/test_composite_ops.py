@@ -24,16 +24,37 @@ class TestFilteredLrelu:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
-    def test_up2_shape_and_magnitude(self):
+    def test_up2_raw_padding_shape(self):
+        # reference raw-padding semantics: out = in·up + px0 + px1 − fw + 1
+        # = 16 + 0 + 0 − 4 + 1 = 13 for an 8-in, 4-tap, pad-0 up stage
         x = rand(1, 8, 8, 2)
         f = setup_filter([1, 3, 3, 1])
         out = filtered_lrelu(x, fu=f, up=2)
+        assert out.shape == (1, 13, 13, 2)
+        # padding restores shape preservation: px0+px1 = fw − 1 = 3
+        out = filtered_lrelu(x, fu=f, up=2, padding=(2, 1, 2, 1))
         assert out.shape == (1, 16, 16, 2)
+
+    def test_bias_applied_before_upsample(self):
+        # a constant bias through the (normalized) up-filter stays constant
+        # only if added BEFORE zero-insertion; compare against explicit
+        # composition
+        from pggan_tpu.ops import upfirdn2d
+        x = rand(1, 6, 6, 3, seed=11)
+        b = rand(3, seed=12)
+        f = setup_filter([1, 2, 1])
+        got = filtered_lrelu(x, fu=f, b=b, up=2, gain=1.0)
+        xb = x + b.reshape(1, 1, 1, 3)
+        want = upfirdn2d(xb, f, up=2, gain=4.0)
+        want = jnp.where(want >= 0, want, want * 0.2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
 
     def test_up2_down2_roundtrip_shape(self):
         x = rand(1, 8, 8, 2)
         f = setup_filter([1, 3, 3, 1])
-        out = filtered_lrelu(x, fu=f, fd=f, up=2, down=2)
+        # up: 16+3+3-4+1 = 19; down: (19-4)//2 + 1 = 8
+        out = filtered_lrelu(x, fu=f, fd=f, up=2, down=2, padding=3)
         assert out.shape == (1, 8, 8, 2)
 
     def test_clamp(self):

@@ -89,6 +89,12 @@ _DEFAULTS: Dict[str, Any] = {
     "donate_buffers": True,
     # rematerialization: True | False | 'auto' (on from 512×512 up)
     "remat": "auto",
+    # periodic FID evaluation: every fid_cycle steps compare fid_samples
+    # generated images against held-out reals (0 = off). Uses the
+    # deterministic random-conv feature extractor (metrics/fid.py) —
+    # relative values only, not Inception-FID comparable.
+    "fid_cycle": 0,
+    "fid_samples": 512,
 }
 
 

@@ -281,6 +281,10 @@ class ProgressiveGANTrainer:
                         self.save_image(images, step)
                         if cfg.use_validation:
                             self.validation(step)
+                    if cfg.fid_cycle and step % cfg.fid_cycle == 0 and step:
+                        fid = self.compute_fid()
+                        self.logger.log(step, {"fid": fid})
+                        print(f"step {step}: FID = {fid:.2f}")
                 step += 1
                 self.global_step = step
             self.save_checkpoint(step, wait=True)
@@ -327,6 +331,53 @@ class ProgressiveGANTrainer:
             apply_minibatch_norm=bool(self.cfg.apply_minibatch_norm))
         if self.logger is not None:
             self.logger.log(step, {"valid_D_real": float(jnp.mean(logits))})
+
+    def compute_fid(self, num_samples: Optional[int] = None) -> float:
+        """FID between generated samples and held-out reals at the current
+        scale, using the deterministic random-conv extractor
+        (`metrics/fid.py`; relative metric — see its docstring)."""
+        from pggan_tpu.metrics import fid_between_sets, RandomConvFeatures
+        from pggan_tpu.models import generator_apply
+        from pggan_tpu.parallel.mesh import local_numpy
+
+        n = int(num_samples or self.cfg.fid_samples)
+        batch = max(8, min(64, self.local_batch_size))
+        cfg = self.cfg
+        params_G = self.state.params_G
+        alpha = jnp.float32(self.schedule.alpha)
+
+        sample = jax.jit(lambda p, z: generator_apply(
+            p, z, alpha, slope=float(cfg.LReLU_slope),
+            apply_pixel_norm=bool(cfg.apply_pixel_norm),
+            last_activation=cfg.generator_last_activation))
+
+        rng = jax.random.PRNGKey(int(cfg.seed) + 777)
+
+        def fake_batches():
+            nonlocal rng
+            done = 0
+            while done < n:
+                rng, key = jax.random.split(rng)
+                z = jax.random.normal(key, (batch, int(cfg.latent_dim)))
+                yield np.clip(np.asarray(sample(params_G, z)), -1.0, 1.0)
+                done += batch
+
+        def real_batches():
+            indices = (self._valid_indices if self._valid_indices is not None
+                       and len(self._valid_indices) >= batch
+                       else self._train_indices)
+            rs = np.random.RandomState(0)
+            done = 0
+            while done < n:
+                sel = rs.choice(indices, size=batch, replace=True)
+                yield np.stack([
+                    self.dataset.get(int(i), np.random.RandomState(int(i)))
+                    for i in sel])
+                done += batch
+
+        extractor = RandomConvFeatures(feature_dim=256)
+        return fid_between_sets(real_batches(), fake_batches(), extractor,
+                                max_samples=n)
 
     def save_checkpoint(self, global_step: int, *, wait: bool = False):
         """Params + optimizer state + schedule + args, per net

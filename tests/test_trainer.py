@@ -64,6 +64,29 @@ class TestEndToEnd:
         assert "L_D" in rec and "L_G" in rec and np.isfinite(rec["L_D"])
 
 
+class TestFIDHook:
+    def test_compute_fid_runs(self, tmp_path):
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("fid_run", max_step=3)
+            fid = trainer.compute_fid(num_samples=16)
+            assert np.isfinite(fid) and fid >= 0
+        finally:
+            trainer.close()
+
+    def test_fid_cycle_logs_metric(self, tmp_path):
+        cfg = smoke_cfg(tmp_path, fid_cycle=2, fid_samples=16)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("fid_log", max_step=3)
+        finally:
+            trainer.close()
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.save_root, "fid_log", "metrics.jsonl"))]
+        assert any("fid" in r for r in records)
+
+
 class TestResume:
     def test_resume_restores_schedule_and_weights(self, tmp_path):
         cfg = smoke_cfg(tmp_path)

@@ -260,6 +260,8 @@ class ProgressiveGANTrainer:
 
         start_step = self.global_step
         step = start_step
+        last_log_time = time.time()
+        last_log_step = step
         try:
             while step < total and not interrupted["flag"]:
                 # Periodic checkpoint BEFORE the step runs: the saved state
@@ -275,6 +277,14 @@ class ProgressiveGANTrainer:
                 if self.is_master:
                     if step % cfg.loss_cycle == 0:
                         self.loss_collector.update(self._last_metrics)
+                        now = time.time()
+                        if step > last_log_step:
+                            rate = ((step - last_log_step) *
+                                    self.local_batch_size *
+                                    jax.process_count() / (now - last_log_time))
+                            self.loss_collector.loss_dict["imgs_per_sec"] = \
+                                round(rate, 1)
+                        last_log_time, last_log_step = now, step
                         self.logger.log(step, self.loss_collector.loss_dict)
                         self.loss_collector.print_loss(step)
                     if step % cfg.test_cycle == 0:

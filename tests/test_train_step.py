@@ -126,6 +126,26 @@ class TestStepSemantics:
         assert np.isfinite(float(metrics["L_D"]))
 
 
+class TestCompileStability:
+    def test_alpha_never_retraces(self):
+        # alpha is a traced scalar: hundreds of fade values per scale must
+        # reuse ONE compiled program (SURVEY §7 hard part #1)
+        cfg = base_cfg()
+        state, og, od = setup_state(cfg)
+        fn = make_train_step(cfg, 0, og, od)
+        img = batch(8, 4)
+        for a in (0.0, 0.25, 0.3337, 0.9999, 1.0):
+            state, _, _ = fn(state, img, jnp.float32(a))
+        assert fn._cache_size() == 1
+
+    def test_scale_structures_compile_separately(self):
+        cfg = base_cfg()
+        s0, og, od = setup_state(cfg, scale=0)
+        fn = make_train_step(cfg, 0, og, od)
+        fn(s0, batch(8, 4), jnp.float32(0.0))
+        assert fn._cache_size() == 1
+
+
 class TestDataParallel:
     def test_sharded_batch_matches_single_device(self):
         # The SPMD result over 8 devices must equal the single-device result

@@ -35,3 +35,4 @@ from pggan_tpu.ops.composite import (  # noqa: F401
     conv2d_resample,
     grid_sample,
 )
+from pggan_tpu.ops.fused_scale import upscale_conv3x3, depth_to_space2  # noqa: F401

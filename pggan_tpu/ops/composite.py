@@ -52,10 +52,14 @@ def filtered_lrelu(x: jax.Array, fu: Optional[jax.Array] = None,
     """
     if b is not None:
         x = x + b.reshape((1,) * (x.ndim - 1) + (-1,)).astype(x.dtype)
-    x = upfirdn2d(x, fu, up=up, padding=padding, gain=float(up * up))
+    px = padding if isinstance(padding, int) else max(abs(p) for p in padding)
+    if up > 1 or fu is not None or px:
+        x = upfirdn2d(x, fu, up=up, padding=padding, gain=float(up * up))
     x = bias_act(x, None, act="lrelu", alpha=slope, gain=gain, clamp=clamp,
                  impl=impl)
-    return upfirdn2d(x, fd, down=down)
+    if down > 1 or fd is not None:
+        x = upfirdn2d(x, fd, down=down)
+    return x
 
 
 def conv2d_resample(x: jax.Array, w: jax.Array,

@@ -87,6 +87,9 @@ class ProgressiveGANTrainer:
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1,
                                              thread_name_prefix="pggan-ckpt")
         self._ckpt_future = None
+        self._fid_sampler = None
+        self._eval_ds = None
+        self._rate_anchor = None        # (time, step) for imgs_per_sec
         self._pipeline: Optional[DataPipeline] = None
         self._valid_pipeline: Optional[DataPipeline] = None
         self._train_indices = None
@@ -137,6 +140,9 @@ class ProgressiveGANTrainer:
         state = init_train_state(jax.numpy.asarray(rng), params_G, params_D,
                                  self.opt_g, self.opt_d)
         self.state = replicate(state, self.mesh)
+        self._fid_sampler = None        # new pytree structure → new program
+        self._eval_ds = None
+        self._rate_anchor = None        # per-scale batch may change
 
     def set_optimizers(self):
         """Fresh Adam state for the CURRENT params (`lib/model.py:95-97`;
@@ -260,8 +266,7 @@ class ProgressiveGANTrainer:
 
         start_step = self.global_step
         step = start_step
-        last_log_time = time.time()
-        last_log_step = step
+        self._rate_anchor = (time.time(), step)
         try:
             while step < total and not interrupted["flag"]:
                 # Periodic checkpoint BEFORE the step runs: the saved state
@@ -278,13 +283,15 @@ class ProgressiveGANTrainer:
                     if step % cfg.loss_cycle == 0:
                         self.loss_collector.update(self._last_metrics)
                         now = time.time()
-                        if step > last_log_step:
-                            rate = ((step - last_log_step) *
-                                    self.local_batch_size *
-                                    jax.process_count() / (now - last_log_time))
+                        # _rate_anchor resets at scale jumps (_fresh_state),
+                        # so the window never straddles a batch-size change
+                        if self._rate_anchor and step > self._rate_anchor[1]:
+                            t0, s0 = self._rate_anchor
+                            rate = ((step - s0) * self.local_batch_size *
+                                    jax.process_count() / (now - t0))
                             self.loss_collector.loss_dict["imgs_per_sec"] = \
                                 round(rate, 1)
-                        last_log_time, last_log_step = now, step
+                        self._rate_anchor = (now, step)
                         self.logger.log(step, self.loss_collector.loss_dict)
                         self.loss_collector.print_loss(step)
                     if step % cfg.test_cycle == 0:
@@ -303,8 +310,10 @@ class ProgressiveGANTrainer:
                       f"checkpointed — resume with --ckpt_id {cfg.run_id}")
         finally:
             for sig, handler in prev_handlers.items():
-                signal.signal(sig, handler if handler is not None
-                              else signal.SIG_DFL)
+                # handler is None when a non-Python (C-level) handler was
+                # installed — leave it untouched rather than stomping it
+                if handler is not None:
+                    signal.signal(sig, handler)
         return self
 
     # -- io -------------------------------------------------------------------
@@ -320,6 +329,8 @@ class ProgressiveGANTrainer:
         """Mean D logits on a held-out batch — the reference declares a
         validation split then leaves `validation()` as `pass`
         (`pggan/model.py:260-261`); this makes it real."""
+        if jax.process_count() > 1:
+            return      # master-only eval on global-mesh params would hang
         if self._valid_indices is None or len(self._valid_indices) == 0:
             return
         if self._valid_pipeline is None:
@@ -330,9 +341,6 @@ class ProgressiveGANTrainer:
                 shard_fn=lambda b: shard_batch(b, self.mesh))
         batch = next(self._valid_pipeline)
         from pggan_tpu.models import discriminator_apply
-        from pggan_tpu.parallel.mesh import local_numpy
-        # master-local evaluation (multi-host: this process's shard)
-        batch = local_numpy(batch)
         logits = discriminator_apply(
             self.state.params_D,
             jnp.asarray(batch, jnp.float32) / 127.5 - 1.0,
@@ -342,24 +350,47 @@ class ProgressiveGANTrainer:
         if self.logger is not None:
             self.logger.log(step, {"valid_D_real": float(jnp.mean(logits))})
 
-    def compute_fid(self, num_samples: Optional[int] = None) -> float:
-        """FID between generated samples and held-out reals at the current
-        scale, using the deterministic random-conv extractor
-        (`metrics/fid.py`; relative metric — see its docstring)."""
-        from pggan_tpu.metrics import fid_between_sets, RandomConvFeatures
-        from pggan_tpu.models import generator_apply
-        from pggan_tpu.parallel.mesh import local_numpy
+    def _eval_dataset(self):
+        """Un-augmented twin of the training dataset (FID reals must not be
+        color-jittered/flipped)."""
+        if self._eval_ds is None or \
+                getattr(self._eval_ds, "resolution", None) != self.schedule.resolution:
+            from pggan_tpu.data.dataset import ImageFolderDataset, SyntheticDataset
+            if isinstance(self.dataset, ImageFolderDataset):
+                self._eval_ds = ImageFolderDataset(
+                    [], self.schedule.scale_index, augment=False,
+                    paths=self.dataset.paths)
+            else:
+                self._eval_ds = self.dataset      # synthetic: no augmentation
+        return self._eval_ds
 
-        n = int(num_samples or self.cfg.fid_samples)
-        batch = max(8, min(64, self.local_batch_size))
+    def compute_fid(self, num_samples: Optional[int] = None) -> float:
+        """FID between generated samples and held-out (un-augmented) reals
+        at the current scale, using the deterministic random-conv extractor
+        (`metrics/fid.py`; relative metric — see its docstring).
+
+        Single-process evaluation: on multi-host runs FID is skipped (the
+        sampler would need all-process participation on the global mesh).
+        """
+        if jax.process_count() > 1:
+            if self.is_master:
+                print("[pggan_tpu] compute_fid skipped on multi-host runs")
+            return float("nan")
+        from pggan_tpu.metrics import fid_between_sets, RandomConvFeatures
+
         cfg = self.cfg
+        n = int(num_samples or cfg.fid_samples)
+        batch = max(8, min(64, self.local_batch_size, n))
         params_G = self.state.params_G
         alpha = jnp.float32(self.schedule.alpha)
 
-        sample = jax.jit(lambda p, z: generator_apply(
-            p, z, alpha, slope=float(cfg.LReLU_slope),
-            apply_pixel_norm=bool(cfg.apply_pixel_norm),
-            last_activation=cfg.generator_last_activation))
+        if self._fid_sampler is None:      # cached per scale (_fresh_state resets)
+            from pggan_tpu.models import generator_apply
+            self._fid_sampler = jax.jit(lambda p, z, a: generator_apply(
+                p, z, a, slope=float(cfg.LReLU_slope),
+                apply_pixel_norm=bool(cfg.apply_pixel_norm),
+                last_activation=cfg.generator_last_activation))
+        sample = self._fid_sampler
 
         rng = jax.random.PRNGKey(int(cfg.seed) + 777)
 
@@ -369,8 +400,10 @@ class ProgressiveGANTrainer:
             while done < n:
                 rng, key = jax.random.split(rng)
                 z = jax.random.normal(key, (batch, int(cfg.latent_dim)))
-                yield np.clip(np.asarray(sample(params_G, z)), -1.0, 1.0)
+                yield np.clip(np.asarray(sample(params_G, z, alpha)), -1.0, 1.0)
                 done += batch
+
+        eval_ds = self._eval_dataset()
 
         def real_batches():
             indices = (self._valid_indices if self._valid_indices is not None
@@ -379,11 +412,12 @@ class ProgressiveGANTrainer:
             rs = np.random.RandomState(0)
             done = 0
             while done < n:
-                sel = rs.choice(indices, size=batch, replace=True)
+                take = min(batch, n - done)
+                sel = rs.choice(indices, size=take, replace=True)
                 yield np.stack([
-                    self.dataset.get(int(i), np.random.RandomState(int(i)))
+                    eval_ds.get(int(i), np.random.RandomState(int(i)))
                     for i in sel])
-                done += batch
+                done += take
 
         extractor = RandomConvFeatures(feature_dim=256)
         return fid_between_sets(real_batches(), fake_batches(), extractor,

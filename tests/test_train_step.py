@@ -139,11 +139,18 @@ class TestCompileStability:
         assert fn._cache_size() == 1
 
     def test_scale_structures_compile_separately(self):
+        # one program per scale: each scale's step fn compiles exactly once
+        # and growing the pytree does not pollute another fn's cache
         cfg = base_cfg()
-        s0, og, od = setup_state(cfg, scale=0)
-        fn = make_train_step(cfg, 0, og, od)
-        fn(s0, batch(8, 4), jnp.float32(0.0))
-        assert fn._cache_size() == 1
+        s0, og0, od0 = setup_state(cfg, scale=0)
+        fn0 = make_train_step(cfg, 0, og0, od0)
+        fn0(s0, batch(8, 4), jnp.float32(0.0))
+        s1, og1, od1 = setup_state(cfg, scale=1)
+        fn1 = make_train_step(cfg, 1, og1, od1)
+        fn1(s1, batch(8, 8), jnp.float32(0.5))
+        fn1(s1, batch(8, 8), jnp.float32(0.9))
+        assert fn0._cache_size() == 1
+        assert fn1._cache_size() == 1
 
 
 class TestDataParallel:

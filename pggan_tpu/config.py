@@ -80,6 +80,7 @@ _DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "float32",       # 'float32' | 'bfloat16' (activations/convs)
     "impl": "xla",                    # 'xla' (pure jnp, XLA-fused) | 'pallas'
     "data_backend": "auto",           # 'auto' | 'folder' | 'synthetic'
+    "data_backend_impl": "threads",   # 'threads' (native pool) | 'grain'
     "synthetic_dataset_size": 4096,
     "num_data_workers": 8,
     "prefetch_depth": 2,

@@ -1,0 +1,73 @@
+"""Grain-backed data pipeline (alternative backend).
+
+The BASELINE north star names Grain as the idiomatic TPU input stack
+("the per-scale 2**(scale_index+2) resize/normalize dataset path becomes a
+prefetching Grain/tf.data loader"). This backend wraps the same dataset
+objects as the thread-pool pipeline (`data/pipeline.py`) in a
+`grain.MapDataset` graph: infinite epochs via `.repeat()`, per-record
+seeded augmentation, drop-remainder batching, and worker prefetch through
+`.mp_prefetch`/`to_iter_dataset`. Select with `data_backend_impl: grain`.
+
+Both backends expose the same iterator contract (uint8 NHWC batches +
+optional shard_fn), so the trainer is backend-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+import grain
+
+
+class GrainPipeline:
+    def __init__(self, dataset, batch_size: int, *,
+                 indices: Optional[Sequence[int]] = None,
+                 num_workers: int = 8, prefetch_depth: int = 2,
+                 seed: int = 42, shard_fn=None):
+        self.shard_fn = shard_fn
+        indices = list(indices) if indices is not None \
+            else list(range(len(dataset)))
+        if len(indices) < batch_size:
+            reps = -(-batch_size // len(indices))
+            indices = (indices * reps)[:max(batch_size, len(indices) * reps)]
+
+        def load(args):
+            index, rec_seed = args
+            return dataset.get(int(index),
+                               np.random.RandomState(int(rec_seed)))
+
+        base = (
+            grain.MapDataset.source(indices)
+            .seed(seed)
+            .shuffle()
+            .repeat()                                   # infinite epochs
+            .map_with_index(lambda i, idx: (idx, (seed * 1_000_003 + i)
+                                            % (2 ** 31 - 1)))
+            .map(load)
+            .batch(batch_size, drop_remainder=True)
+        )
+        it = base.to_iter_dataset(
+            grain.ReadOptions(num_threads=max(1, num_workers),
+                              prefetch_buffer_size=max(1, prefetch_depth)
+                              * batch_size))
+        self._iter = iter(it)
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        batch = np.asarray(next(self._iter))
+        if self.shard_fn is not None:
+            batch = self.shard_fn(batch)
+        return batch
+
+    def close(self):
+        self._iter = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

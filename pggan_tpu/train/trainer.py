@@ -165,7 +165,13 @@ class ProgressiveGANTrainer:
             self._pipeline.close()
         batch = self.local_batch_size
         mesh = self.mesh
-        self._pipeline = DataPipeline(
+        impl = str(self.cfg["data_backend_impl"]) \
+            if "data_backend_impl" in self.cfg else "threads"
+        pipeline_cls = DataPipeline
+        if impl == "grain":
+            from pggan_tpu.data.grain_pipeline import GrainPipeline
+            pipeline_cls = GrainPipeline
+        self._pipeline = pipeline_cls(
             self.dataset, batch,
             indices=self._train_indices,
             num_workers=int(self.cfg.num_data_workers),

@@ -131,6 +131,42 @@ class TestPairedDatasets:
         assert xs.shape == (16, 16, 3) and xt.shape == (16, 16, 3)
 
 
+class TestGrainPipeline:
+    def test_batches_flow(self):
+        from pggan_tpu.data.grain_pipeline import GrainPipeline
+        ds = SyntheticDataset(64, scale_index=1)
+        with GrainPipeline(ds, 8, num_workers=2) as pipe:
+            for _ in range(3):
+                b = next(pipe)
+                assert b.shape == (8, 8, 8, 3) and b.dtype == np.uint8
+
+    def test_small_dataset_repeats(self):
+        from pggan_tpu.data.grain_pipeline import GrainPipeline
+        ds = SyntheticDataset(4, scale_index=0)
+        with GrainPipeline(ds, 16, num_workers=1) as pipe:
+            assert next(pipe).shape == (16, 4, 4, 3)
+
+    def test_trainer_uses_grain_backend(self, tmp_path):
+        from pggan_tpu import Config
+        from pggan_tpu.registry import create_model
+        cfg = Config({
+            "depths": [16, 16], "latent_dim": 32, "batch_per_gpu": 1,
+            "max_step_at_scale": [4, 4],
+            "alpha_jump_start": [-1, 1], "alpha_jump_interval": [0, 1],
+            "alpha_jump_Ntimes": [0, 2],
+            "loss_cycle": 2, "test_cycle": 100, "ckpt_cycle": 100,
+            "save_root": str(tmp_path / "g"), "data_backend": "synthetic",
+            "data_backend_impl": "grain", "synthetic_dataset_size": 32,
+            "num_data_workers": 2, "use_mGPU": True,
+        })
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("grain_run", max_step=3)
+            assert trainer.global_step == 3
+        finally:
+            trainer.close()
+
+
 class TestBuildDataset:
     def test_auto_falls_back_to_synthetic(self):
         cfg = Config({"dataset_root_list": ["/nonexistent"]})

@@ -64,6 +64,19 @@ class TestEndToEnd:
         assert "L_D" in rec and "L_G" in rec and np.isfinite(rec["L_D"])
 
 
+class TestValidation:
+    def test_use_validation_logs_metric(self, tmp_path):
+        cfg = smoke_cfg(tmp_path, use_validation=True, test_cycle=2)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("val_run", max_step=3)
+        finally:
+            trainer.close()
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.save_root, "val_run", "metrics.jsonl"))]
+        assert any("valid_D_real" in r for r in records)
+
+
 class TestFIDHook:
     def test_compute_fid_runs(self, tmp_path):
         cfg = smoke_cfg(tmp_path)

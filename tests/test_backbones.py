@@ -48,6 +48,41 @@ class TestBiSeNet:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestFace3D:
+    def test_end_to_end_coeffs_to_render(self):
+        from pggan_tpu.models.face3d import (ParametricFaceModel,
+                                             init_reconnet, reconnet_apply)
+        p = init_reconnet(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+        coeffs = reconnet_apply(p, x)
+        assert coeffs.shape == (2, 257)
+        model = ParametricFaceModel(n_vertices=128)
+        out = model.compute_for_render(coeffs)
+        assert out["vertices"].shape == (2, 128, 3)
+        assert out["projection"].shape == (2, 128, 2)
+        assert out["landmarks"].shape == (2, 68, 2)
+        assert out["color"].shape == (2, 128, 3)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+    def test_split_coeff_layout(self):
+        from pggan_tpu.models.face3d import split_coeff
+        c = split_coeff(jnp.zeros((3, 257)))
+        sizes = {k: v.shape[1] for k, v in c.items()}
+        assert sizes == {"id": 80, "exp": 64, "tex": 80, "angle": 3,
+                         "gamma": 27, "trans": 3}
+
+    def test_rotation_is_orthonormal(self):
+        from pggan_tpu.models.face3d import ParametricFaceModel
+        m = ParametricFaceModel(n_vertices=8)
+        angles = jnp.asarray([[0.1, -0.2, 0.3], [0.0, 0.0, 0.0]])
+        rot = m.compute_rotation(angles)
+        eye = np.eye(3)
+        for r in np.asarray(rot):
+            np.testing.assert_allclose(r @ r.T, eye, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rot)[1], eye, atol=1e-6)
+
+
 class TestE4E:
     def test_latent_shapes(self):
         from pggan_tpu.models.e4e import init_e4e_encoder, e4e_encoder_apply

@@ -48,6 +48,24 @@ class TestBiSeNet:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestWeightPortability:
+    def test_backbone_checkpoint_roundtrip(self, tmp_path):
+        # the "npz-loadable weights" claim: save any backbone pytree with
+        # the standard checkpoint machinery, restore into a fresh init
+        from pggan_tpu.utils import checkpoint as ckpt_lib
+        p = init_resnet18(jax.random.PRNGKey(1))
+        ckpt_lib.save_checkpoint(str(tmp_path), "bb", "resnet18", 0, params=p)
+        arrays, _, _ = ckpt_lib.load_checkpoint(str(tmp_path), "bb",
+                                                "resnet18", 0)
+        template = init_resnet18(jax.random.PRNGKey(2))   # different values
+        restored = ckpt_lib.arrays_to_tree(template, arrays, strict=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(resnet18_apply(restored, x)),
+                                   np.asarray(resnet18_apply(p, x)),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestFace3D:
     def test_end_to_end_coeffs_to_render(self):
         from pggan_tpu.models.face3d import (ParametricFaceModel,

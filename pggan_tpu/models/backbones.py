@@ -48,6 +48,10 @@ def _bn(p, x, eps=1e-5):
 # ResNet-18
 # ---------------------------------------------------------------------------
 
+def _resnet_stride(stage_idx: int, block_idx: int) -> int:
+    return 2 if (stage_idx > 0 and block_idx == 0) else 1
+
+
 def init_resnet18(rng: jax.Array, *, input_dim: int = 3) -> Dict[str, Any]:
     """Standard ResNet-18: 7×7/2 stem + maxpool + 4 stages of 2 basic
     blocks (64/128/256/512), strides (1,2,2,2) (`submodel/resnet.py:10-60`).
@@ -63,13 +67,15 @@ def init_resnet18(rng: jax.Array, *, input_dim: int = 3) -> Dict[str, Any]:
         stage = []
         for b in range(2):
             k = jax.random.fold_in(rng, 100 * (s + 1) + b)
-            stride = 2 if (s > 0 and b == 0) else 1
+            # stride is structural (derived from position at apply time),
+            # NOT a pytree leaf — leaves must all be arrays so checkpoints
+            # round-trip through the npz machinery
+            stride = _resnet_stride(s, b)
             block = {
                 "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, width, 3),
                 "bn1": _bn_init(width),
                 "conv2": _conv_init(jax.random.fold_in(k, 1), width, width, 3),
                 "bn2": _bn_init(width),
-                "stride": stride,
             }
             if stride != 1 or c_in != width:
                 block["down"] = _conv_init(jax.random.fold_in(k, 2), c_in, width, 1)
@@ -91,9 +97,9 @@ def resnet18_apply(params: Dict[str, Any], x: jax.Array,
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), "SAME")
     feats: List[jax.Array] = []
-    for stage in params["stages"]:
-        for block in stage:
-            stride = block["stride"]
+    for s, stage in enumerate(params["stages"]):
+        for b, block in enumerate(stage):
+            stride = _resnet_stride(s, b)
             h = jax.nn.relu(_bn(block["bn1"], _conv(block["conv1"], y, stride)))
             h = _bn(block["bn2"], _conv(block["conv2"], h))
             skip = y
@@ -113,6 +119,10 @@ def resnet18_apply(params: Dict[str, Any], x: jax.Array,
 def _linear_init(rng, din, dout):
     w = jax.random.normal(rng, (din, dout)) * math.sqrt(1.0 / din)
     return {"w": w, "b": jnp.zeros((dout,))}
+
+
+def _irse_stride(block_idx: int) -> int:
+    return 2 if block_idx == 0 else 1
 
 
 _IRSE_STAGES = {
@@ -139,7 +149,7 @@ def init_irse(rng: jax.Array, *, num_layers: int = 50, input_dim: int = 3,
         stage = []
         for b in range(count):
             k = jax.random.fold_in(rng, 1000 * (s + 1) + b)
-            stride = 2 if b == 0 else 1
+            stride = _irse_stride(b)       # structural, not a pytree leaf
             se_dim = max(width // 16, 1)
             block = {
                 "bn0": _bn_init(c_in),
@@ -149,7 +159,6 @@ def init_irse(rng: jax.Array, *, num_layers: int = 50, input_dim: int = 3,
                 "bn2": _bn_init(width),
                 "se_fc1": _linear_init(jax.random.fold_in(k, 2), width, se_dim),
                 "se_fc2": _linear_init(jax.random.fold_in(k, 3), se_dim, width),
-                "stride": stride,
             }
             if stride != 1 or c_in != width:
                 block["down"] = _conv_init(jax.random.fold_in(k, 4), c_in, width, 1)
@@ -172,10 +181,11 @@ def irse_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     (`arcface.py:100-118`: output_layer then l2_norm)."""
     y = _prelu(_bn(params["stem"]["bn"], _conv(params["stem"], x)))
     for stage in params["stages"]:
-        for block in stage:
+        for b, block in enumerate(stage):
+            stride = _irse_stride(b)
             h = _bn(block["bn0"], y)
             h = _prelu(_bn(block["bn1"], _conv(block["conv1"], h)))
-            h = _bn(block["bn2"], _conv(block["conv2"], h, block["stride"]))
+            h = _bn(block["bn2"], _conv(block["conv2"], h, stride))
             # squeeze-excitation
             se = jnp.mean(h, axis=(1, 2))
             se = jax.nn.relu(se @ block["se_fc1"]["w"] + block["se_fc1"]["b"])
@@ -183,9 +193,9 @@ def irse_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
             h = h * se[:, None, None, :]
             skip = y
             if "down" in block:
-                skip = _bn(block["down_bn"], _conv(block["down"], y, block["stride"]))
-            elif block["stride"] != 1:
-                skip = downscale2d(y, block["stride"])
+                skip = _bn(block["down_bn"], _conv(block["down"], y, stride))
+            elif stride != 1:
+                skip = downscale2d(y, stride)
             y = h + skip
     y = y.transpose(0, 3, 1, 2).reshape(y.shape[0], -1)   # torch flatten order
     emb = y @ params["head"]["w"] + params["head"]["b"]

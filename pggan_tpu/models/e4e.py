@@ -60,10 +60,10 @@ def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
         "stage3": _conv_init(jax.random.fold_in(rng, 3), 256, 512, 3),
         "latlayer1": _conv_init(jax.random.fold_in(rng, 4), 256, 512, 1),
         "latlayer2": _conv_init(jax.random.fold_in(rng, 5), 128, 512, 1),
+        # coarse/middle/fine split is encoded structurally in each style
+        # block's pooling depth (len(convs) = 4/5/6) — pytree leaves must
+        # all be arrays so checkpoints round-trip
         "styles": [],
-        "coarse_ind": coarse_ind,
-        "middle_ind": middle_ind,
-        "n_styles": n_styles,
     }
     # spatial extents assuming 256 input: c3 16, c2 32, c1 64
     for i in range(n_styles):
@@ -99,8 +99,10 @@ def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
     c2 = jax.nn.leaky_relu(_conv(params["stage2"], c1, stride=2), 0.2)  # 1/8·256
     c3 = jax.nn.leaky_relu(_conv(params["stage3"], c2, stride=2), 0.2)  # 1/16·512
 
-    n_styles = params["n_styles"]
-    coarse, middle = params["coarse_ind"], params["middle_ind"]
+    n_styles = len(params["styles"])
+    # pooling depth 4 → reads the 16px level (coarse), 5 → 32px (middle),
+    # 6 → 64px (fine)
+    depth_of = [len(s["convs"]) for s in params["styles"]]
     p2 = _up_add(c3, _conv(params["latlayer1"], c2))
     p1 = _up_add(p2, _conv(params["latlayer2"], c1))
 
@@ -108,7 +110,7 @@ def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
     latents = [w0]
     stage = n_styles if progressive_stage is None else progressive_stage
     for i in range(1, n_styles):
-        feat = c3 if i < coarse else (p2 if i < middle else p1)
+        feat = c3 if depth_of[i] == 4 else (p2 if depth_of[i] == 5 else p1)
         delta = _gradual_style_block(params["styles"][i], feat)
         # staged deltas (`e4e.py:246-255`): beyond the current stage the
         # slot just repeats w0

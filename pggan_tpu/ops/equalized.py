@@ -85,7 +85,12 @@ def equalized_conv2d(params: Dict[str, jax.Array], x: jax.Array, *,
     hits the bias there because torch's conv adds bias inside). We match
     that exactly: (conv(x, w) + b) * scale.
     """
-    w, b, scale = params["w"], params["b"], params["scale"]
+    w, b = params["w"], params["b"]
+    # The He constant is a runtime CONSTANT (`lib/layers.py:56` keeps it a
+    # plain float attribute, never a Parameter). It lives in the pytree for
+    # checkpoint round-tripping only — stop_gradient keeps value_and_grad +
+    # Adam from silently training it, which would defeat equalized LR.
+    scale = jax.lax.stop_gradient(params["scale"])
     dt = compute_dtype or x.dtype
     # MXU accumulates bf16 matmuls in f32 internally; forcing an f32 output
     # via preferred_element_type breaks the conv transpose rule under
@@ -111,7 +116,8 @@ def equalized_conv2d(params: Dict[str, jax.Array], x: jax.Array, *,
 def equalized_linear(params: Dict[str, jax.Array], x: jax.Array, *,
                      compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """[B, in] @ [in, out] with runtime He constant: (x @ w + b) * scale."""
-    w, b, scale = params["w"], params["b"], params["scale"]
+    w, b = params["w"], params["b"]
+    scale = jax.lax.stop_gradient(params["scale"])   # fixed constant, see above
     dt = compute_dtype or x.dtype
     pref = jnp.float32 if dt == jnp.float32 else None
     w = (w.astype(jnp.float32) * scale).astype(dt)

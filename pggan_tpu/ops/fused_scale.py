@@ -63,7 +63,9 @@ def upscale_conv3x3(params: Dict[str, jax.Array], x: jax.Array, *,
     """Exactly `equalized_conv2d(params, upscale2d(x))` for a 3×3 SAME
     conv, computed at low resolution. params in the standard equalized
     format {w: [3,3,Cin,Cout], b, scale}."""
-    w, b, scale = params["w"], params["b"], params["scale"]
+    w, b = params["w"], params["b"]
+    # Runtime constant, never trained (see ops/equalized.py).
+    scale = jax.lax.stop_gradient(params["scale"])
     dt = compute_dtype or x.dtype
     w = (w.astype(jnp.float32) * scale)
     b = (b.astype(jnp.float32) * scale)

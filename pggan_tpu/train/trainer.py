@@ -159,6 +159,12 @@ class ProgressiveGANTrainer:
                                      is_master=self.is_master)
         self._train_indices, self._valid_indices = split_dataset(
             len(self.dataset), 0.7, seed=int(self.cfg.seed))
+        # The validation pipeline caches the OLD dataset (old resolution,
+        # old split) — a scale jump must invalidate it or validation()
+        # would feed stale-resolution batches into the grown D and crash.
+        if self._valid_pipeline is not None:
+            self._valid_pipeline.close()
+            self._valid_pipeline = None
 
     def set_data_iterator(self):
         if self._pipeline is not None:
@@ -447,6 +453,10 @@ class ProgressiveGANTrainer:
         meta = {
             "args": self.cfg.to_dict(),
             "schedule": self.schedule.state_dict(),
+            # Post-step RNG key: restoring it makes resume replay the SAME
+            # latent/eps stream it would have produced uninterrupted —
+            # without it a resumed run restarts the stream from the seed.
+            "rng": np.asarray(jax.device_get(self.state.rng)).tolist(),
         }
         # Device-side snapshot: new buffers, immune to donation of the
         # live state by subsequent steps. Runs on all processes (SPMD).
@@ -508,8 +518,11 @@ class ProgressiveGANTrainer:
         params_D = ckpt_lib.arrays_to_tree(template_state.params_D, loaded["D"][0])
         opt_G = ckpt_lib.arrays_to_tree(template_state.opt_state_G, loaded["G"][1])
         opt_D = ckpt_lib.arrays_to_tree(template_state.opt_state_D, loaded["D"][1])
+        rng = template_state.rng
+        if "rng" in meta:       # exact-resume RNG stream (older ckpts lack it)
+            rng = jnp.asarray(np.asarray(meta["rng"], dtype=np.uint32))
         self.state = replicate(
-            TrainState(params_G, params_D, opt_G, opt_D, template_state.rng),
+            TrainState(params_G, params_D, opt_G, opt_D, rng),
             self.mesh)
         if self.is_master:
             print(f"checkpoint {cfg.ckpt_id}@{meta['global_step']} restored "

@@ -121,7 +121,18 @@ def save_checkpoint(save_root: str, run_id: str, name: str, global_step: int,
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
-    shutil.copyfile(path, os.path.join(directory, f"{name}_latest.npz"))
+    # Atomic latest-alias refresh: a crash mid-copy must never leave a
+    # truncated {name}_latest.npz — that is exactly the file the default
+    # resume path (ckpt_step=None) reads.
+    latest = os.path.join(directory, f"{name}_latest.npz")
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f_out, open(path, "rb") as f_in:
+            shutil.copyfileobj(f_in, f_out)
+        os.replace(tmp, latest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 

@@ -56,8 +56,11 @@ def run_train(args, *, timeout=240, sigterm_after=None):
 
 class TestPreemption:
     def test_sigterm_checkpoints_and_resumes(self, tmp_path):
-        # unbounded-ish budget so the run can't finish before the signal;
-        # wait for the first loss print (loop is live) before SIGTERM
+        # unbounded-ish budget so the run can't finish before the signal.
+        # Readiness is DETERMINISTIC: poll for a non-empty metrics.jsonl
+        # (the trainer writes + flushes it at step 0, after the signal
+        # handlers are installed) — never parse the child's stdout live,
+        # whose block-buffering made the old readline approach flaky.
         cfg_path, cfg = write_cfg(tmp_path, max_step_at_scale=[5000, 5000])
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
@@ -66,17 +69,21 @@ class TestPreemption:
              "--config", cfg_path, "--max_step", "5000"],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        lines = []
-        deadline = time.time() + 180
+        metrics_path = os.path.join(cfg["save_root"], "pre", "metrics.jsonl")
+        deadline = time.time() + 300
         while time.time() < deadline:
-            line = proc.stdout.readline()
-            lines.append(line)
-            if "lossD" in line:          # training loop is live
+            if proc.poll() is not None:
+                break                    # died early — surface output below
+            if os.path.exists(metrics_path) and os.path.getsize(metrics_path):
                 break
-        time.sleep(2)
+            time.sleep(0.25)
+        assert proc.poll() is None, proc.communicate(timeout=60)[0]
+        if not (os.path.exists(metrics_path) and os.path.getsize(metrics_path)):
+            proc.kill()
+            proc.communicate(timeout=60)
+            raise AssertionError("training loop never went live within 300s")
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=240)
-        out = "".join(lines) + out
         rc = proc.returncode
         assert rc == 0, out
         assert "interrupted" in out, out

@@ -117,6 +117,28 @@ class TestStepSemantics:
         np.testing.assert_allclose(float(m_on["L_D_r1"]),
                                    4 * float(m1["L_D_r1"]), rtol=1e-4)
 
+    def test_he_scale_constants_never_train(self):
+        # The equalized-LR He constant lives in the pytree for checkpoint
+        # round-tripping but is a fixed runtime constant (lib/layers.py:56
+        # keeps it a non-Parameter float). It must be BIT-identical after a
+        # train step — if it drifted, equalized LR would be silently broken.
+        cfg = base_cfg()
+        state, og, od = setup_state(cfg, scale=1)
+        fn = make_train_step(cfg, 1, og, od)
+        new_state, _, _ = fn(state, batch(8, 8), jnp.float32(0.5))
+        for old_tree, new_tree in ((state.params_G, new_state.params_G),
+                                   (state.params_D, new_state.params_D)):
+            old_leaves = jax.tree_util.tree_flatten_with_path(old_tree)[0]
+            new_leaves = jax.tree.leaves(new_tree)
+            n_scales = 0
+            for (kp, old), new in zip(old_leaves, new_leaves):
+                if any(getattr(e, "key", None) == "scale" for e in kp):
+                    np.testing.assert_array_equal(
+                        np.asarray(old), np.asarray(new),
+                        err_msg=f"trained He constant at {kp}")
+                    n_scales += 1
+            assert n_scales > 0    # the guard actually checked something
+
     def test_float_input_accepted(self):
         cfg = base_cfg()
         state, og, od = setup_state(cfg)

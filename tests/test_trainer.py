@@ -77,6 +77,23 @@ class TestValidation:
         assert any("valid_D_real" in r for r in records)
 
 
+    def test_validation_survives_scale_jump(self, tmp_path):
+        # Regression: the validation pipeline must be rebuilt when a scale
+        # jump changes the dataset resolution — a stale pipeline feeds
+        # old-resolution batches into the grown D and crashes.
+        cfg = smoke_cfg(tmp_path, use_validation=True, test_cycle=2)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("val_jump", max_step=8)    # scale jump at step 4
+            assert trainer.schedule.scale_index == 1
+        finally:
+            trainer.close()
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.save_root, "val_jump", "metrics.jsonl"))]
+        steps_with_valid = [r["step"] for r in records if "valid_D_real" in r]
+        assert any(s >= 4 for s in steps_with_valid)   # post-jump eval ran
+
+
 class TestFIDHook:
     def test_compute_fid_runs(self, tmp_path):
         cfg = smoke_cfg(tmp_path)
@@ -123,6 +140,31 @@ class TestResume:
             trainer2.cfg.run_id = "resumed"
             trainer2.fit("resumed", max_step=12)
             assert trainer2.global_step == 12
+        finally:
+            trainer2.close()
+
+    def test_resume_restores_rng_stream(self, tmp_path):
+        # The post-step RNG key is checkpointed so a resumed run continues
+        # the SAME latent/eps stream instead of replaying from the seed.
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("rngrun", max_step=4)
+            rng_after = np.asarray(trainer.state.rng)
+        finally:
+            trainer.close()
+        cfg2 = smoke_cfg(tmp_path, ckpt_id="rngrun", ckpt_step=4)
+        trainer2 = create_model(cfg2)
+        try:
+            np.testing.assert_array_equal(np.asarray(trainer2.state.rng),
+                                          rng_after)
+            # a fresh (non-resumed) trainer would have started from the seed
+            fresh = create_model(smoke_cfg(tmp_path / "fresh"))
+            try:
+                assert not np.array_equal(np.asarray(fresh.state.rng),
+                                          rng_after)
+            finally:
+                fresh.close()
         finally:
             trainer2.close()
 

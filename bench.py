@@ -26,6 +26,43 @@ import time
 import numpy as np
 
 PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 45.0   # analytical; see BASELINE.md
+PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0}  # per chip
+
+
+def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,
+                      loss_mode: str = "r1") -> float:
+    """Algorithmic (dense-conv) TFLOPs of one fused D+G train step.
+
+    Model-FLOPs convention: counts the reference formulation's MACs×2 —
+    structural fusions that EXECUTE fewer MACs (the dilated upscale-conv)
+    still count at the dense rate, so MFU is comparable across rounds.
+    Pass multipliers (see BASELINE.md): G = 2 fwd + 1 bwd (2×) = 4 fwd-eq;
+    D(r1) = real fwd + inner ∇x (1) + fake fwd+bwd (3) + outer reverse
+    over [fwd + ∇x] (4) + G-phase fwd + ∇x (2) = 10 fwd-eq.
+    """
+    def conv(res, k, cin, cout):
+        return 2.0 * batch * res * res * k * k * cin * cout
+
+    d = list(depths)
+    g = 2.0 * batch * latent_dim * 16 * d[0] + conv(4, 3, d[0], d[0])
+    for i in range(1, scale + 1):
+        res = 2 ** (i + 2)
+        g += conv(res, 3, d[i - 1], d[i]) + conv(res, 3, d[i], d[i])
+    r = 2 ** (scale + 2)
+    g += conv(r, 1, d[scale], 3)
+    if scale >= 1:
+        g += conv(r // 2, 1, d[scale - 1], 3)
+
+    dd = conv(r, 1, 3, d[scale])
+    if scale >= 1:
+        dd += conv(r // 2, 1, 3, d[scale - 1])
+    for i in range(scale, 0, -1):
+        res = 2 ** (i + 2)
+        dd += conv(res, 3, d[i], d[i]) + conv(res, 3, d[i], d[i - 1])
+    dd += conv(4, 3, d[0] + 1, d[0]) + 2.0 * batch * (16 * d[0] * d[0] + d[0])
+    # wgangp mode: eps-interpolated GP forward+grad instead of the R1
+    # inner/outer structure — same pass count to first order; keep 10.
+    return (4.0 * g + 10.0 * dd) / 1e12
 
 
 def main(argv=None):
@@ -121,12 +158,20 @@ def main(argv=None):
 
     imgs_per_sec = batch * ns.steps / elapsed
     per_chip = imgs_per_sec / n_chips
+    tflops_per_step = step_model_tflops(depths, scale, ns.batch_per_chip,
+                                        loss_mode=ns.loss_mode)
+    step_s = elapsed / ns.steps
+    kind = devices[0].device_kind.lower().replace(" ", "")
+    peak = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind), 197.0)
+    mfu = tflops_per_step / step_s / peak
     result = {
         "metric": f"images/sec/chip, {res}x{res} progressive train step "
                   f"(fused D+G, {ns.loss_mode}, {ns.compute_dtype})",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 2),
+        "mfu": round(mfu, 3),
+        "model_tflops_per_step": round(tflops_per_step, 2),
     }
     print(json.dumps(result))
     return 0

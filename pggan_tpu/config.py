@@ -78,7 +78,9 @@ _DEFAULTS: Dict[str, Any] = {
     # ---- TPU-native additions ----
     "seed": 42,
     "compute_dtype": "float32",       # 'float32' | 'bfloat16' (activations/convs)
-    "impl": "xla",                    # 'xla' (pure jnp, XLA-fused) | 'pallas'
+    # 'xla' (pure jnp, XLA-fused — measured production winner) | 'fused'
+    # (jnp + fused Pallas G epilogues) | 'pallas' (all Pallas kernels)
+    "impl": "xla",
     "data_backend": "auto",           # 'auto' | 'folder' | 'synthetic'
     "data_backend_impl": "threads",   # 'threads' (native pool) | 'grain'
     "synthetic_dataset_size": 4096,
@@ -88,8 +90,20 @@ _DEFAULTS: Dict[str, Any] = {
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,
     "donate_buffers": True,
-    # rematerialization: True | False | 'auto' (on from 512×512 up)
+    # rematerialization: True | False | 'auto'. With the dilated
+    # upscale-conv fusion + bf16 avgpool accumulation, 512² (batch 8) and
+    # 1024² (batch 4) fit WITHOUT remat on a v5e chip (measured: 35.4 →
+    # 44.0 img/s at 512², 4.9 → 6.1 at 1024²), so 'auto' only enables it
+    # beyond the default depth table (scale ≥ 9). Set True explicitly for
+    # oversized per-chip batches at high resolution.
     "remat": "auto",
+    # upscale+conv structural fusion in G blocks:
+    #   'dilated' (default): ONE lhs-dilated conv with a 4×4 tap-merged
+    #     kernel — 2.25× fewer MACs than conv-on-upscaled, no upscaled
+    #     intermediate (measured +8% full-step at 256², +16% at 1024²)
+    #   'auto': quarter-res dense conv w/ 4·C_out groups on lane-bound
+    #     blocks (cout < 128) | True: same, all blocks | False: unfused
+    "fused_scale": "dilated",
     # periodic FID evaluation: every fid_cycle steps compare fid_samples
     # generated images against held-out reals (0 = off). Uses the
     # deterministic random-conv feature extractor (metrics/fid.py) —

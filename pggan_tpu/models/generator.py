@@ -30,7 +30,8 @@ from typing import Any, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from pggan_tpu.ops.basic import blend, leaky_relu, pixel_norm, upscale2d
+from pggan_tpu.ops.basic import (blend, leaky_relu, lrelu_pixel_norm,
+                                 pixel_norm, upscale2d)
 from pggan_tpu.ops.equalized import (
     equalized_conv2d,
     equalized_linear,
@@ -114,7 +115,7 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
                     compute_dtype=jnp.float32,
                     impl: str = "xla",
                     remat: bool = False,
-                    fused_scale="auto") -> jax.Array:
+                    fused_scale="dilated") -> jax.Array:
     """Forward pass. Returns NHWC images in [-1, 1] (no last activation by
     default, matching `generator_last_activation: null` in configs.yaml).
 
@@ -129,6 +130,12 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
     def pn(v):
         return pixel_norm(v, impl=impl) if apply_pixel_norm else v
 
+    def act(v):
+        """Conv epilogue: LReLU then PixelNorm, fused where impl allows."""
+        if apply_pixel_norm:
+            return lrelu_pixel_norm(v, slope, impl=impl)
+        return leaky_relu(v, slope)
+
     x = pn(x)
     x = leaky_relu(equalized_linear(params["format"], x, compute_dtype=compute_dtype), slope)
     # torch reshapes NCHW-major ([B, C, 4, 4]); transpose keeps the exact
@@ -137,7 +144,7 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
     x = pn(x)
 
     # First (4x4) block: single conv.
-    x = pn(leaky_relu(equalized_conv2d(params["first_conv"], x, compute_dtype=compute_dtype), slope))
+    x = act(equalized_conv2d(params["first_conv"], x, compute_dtype=compute_dtype))
 
     def block_fn(block, v):
         # Exact upscale+conv fusion at low res (ops/fused_scale.py).
@@ -145,15 +152,26 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
         # v5e: big win at 512/1024px (16-64 ch; +25% at 1024, unlocks
         # batch 4), slight loss on the wide low-res blocks.
         cout = block["conv0"]["w"].shape[-1]
-        fuse = fused_scale is True or (fused_scale == "auto" and cout < 128)
-        if fuse:
+        if fused_scale == "dilated":
+            fuse = "dilated"
+        elif isinstance(fused_scale, bool):
+            fuse = fused_scale
+        elif fused_scale == "auto":
+            fuse = cout < 128
+        else:                       # numeric threshold: fuse when cout <= N
+            fuse = cout <= int(fused_scale)
+        if fuse == "dilated":
+            from pggan_tpu.ops.fused_scale import upscale_conv3x3_dilated
+            v = upscale_conv3x3_dilated(block["conv0"], v,
+                                        compute_dtype=compute_dtype)
+        elif fuse:
             from pggan_tpu.ops.fused_scale import upscale_conv3x3
             v = upscale_conv3x3(block["conv0"], v, compute_dtype=compute_dtype)
         else:
             v = upscale2d(v)
             v = equalized_conv2d(block["conv0"], v, compute_dtype=compute_dtype)
-        v = pn(leaky_relu(v, slope))
-        v = pn(leaky_relu(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype), slope))
+        v = act(v)
+        v = act(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype))
         return v
     if remat:
         # rematerialize per-block activations in the backward pass — trades

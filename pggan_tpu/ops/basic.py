@@ -53,6 +53,20 @@ def pixel_norm(x: jax.Array, eps: float = 1e-8, impl: str = "xla") -> jax.Array:
     return x * jax.lax.rsqrt(mean_sq + eps)
 
 
+def lrelu_pixel_norm(x: jax.Array, slope: float = 0.2, eps: float = 1e-8,
+                     impl: str = "xla") -> jax.Array:
+    """pixel_norm(leaky_relu(x)) — the generator's conv epilogue
+    (`lib/blocks.py:119-149`: every G conv is followed by LReLU then
+    PixelNorm). `impl in ('pallas', 'fused')` runs the single-pass fused
+    TPU kernel (first-order differentiable — generator-only, see
+    ops/pallas_kernels.py); 'xla' is the pure-jnp reference chain.
+    """
+    if impl in ("pallas", "fused"):
+        from pggan_tpu.ops import pallas_kernels as pk
+        return pk.lrelu_pixel_norm(x, float(slope), float(eps))
+    return pixel_norm(leaky_relu(x, slope), eps)
+
+
 def upscale2d(x: jax.Array, factor: int = 2) -> jax.Array:
     """Nearest-neighbor upscale of NHWC by an integer factor.
 
@@ -77,7 +91,12 @@ def downscale2d(x: jax.Array, factor: int = 2) -> jax.Array:
         return x
     n, h, w, c = x.shape
     x = x.reshape(n, h // factor, factor, w // factor, factor, c)
-    return jnp.mean(x, axis=(2, 4))
+    # Accumulate the 2×2 window in the input dtype: jnp.mean upcasts the
+    # reduce to f32, which makes XLA materialize the producer as a full
+    # f32 tensor in HBM (measured around every avgpool in the R1
+    # double-backward). factor² ≤ 4 terms lose nothing meaningful in bf16.
+    inv = jnp.asarray(1.0 / (factor * factor), x.dtype)
+    return jnp.sum(x, axis=(2, 4), dtype=x.dtype) * inv
 
 
 def minibatch_stddev(x: jax.Array, subgroup_size: int = 4, eps: float = 1e-8,

@@ -36,6 +36,14 @@ import numpy as np
 _M0 = np.array([[1, 0, 0], [0, 1, 1], [0, 0, 0]], np.float32)
 _M1 = np.array([[0, 0, 0], [1, 1, 0], [0, 0, 1]], np.float32)
 
+# 1-D tap-merge for the lhs-dilated formulation: rows = dilated-input
+# offsets (-2, -1, 0, +1), cols = taps (0, 1, 2). Derivation: output row
+# 2i+a of conv3x3(nearest_up(x)) reads x rows {i-1: w0, i: w1+w2} (a=0)
+# and {i: w0+w1, i+1: w2} (a=1); in zero-dilated coordinates those land on
+# offsets {-2, 0} (even rows) and {-1, +1} (odd rows), giving one phase-
+# independent 4-tap kernel.
+_M4 = np.array([[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], np.float32)
+
 
 def _transform_kernel(w: jax.Array) -> jax.Array:
     """[3,3,Cin,Cout] → [3,3,Cin,4·Cout], subpixel groups ordered (a,b)
@@ -56,6 +64,36 @@ def depth_to_space2(x: jax.Array) -> jax.Array:
     x = x.reshape(bsz, h, w, 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)            # B, h, a, w, b, c
     return x.reshape(bsz, 2 * h, 2 * w, c)
+
+
+def upscale_conv3x3_dilated(params: Dict[str, jax.Array], x: jax.Array, *,
+                            compute_dtype=None) -> jax.Array:
+    """Exactly `equalized_conv2d(params, upscale2d(x))`, as ONE lhs-dilated
+    conv with a 4×4 tap-merged kernel K = M₄·w·M₄ᵀ.
+
+    Nearest-neighbor duplication lets taps that read the same source pixel
+    pre-sum in the kernel; in the dilated-input formulation each output
+    subpixel touches only 2×2 source taps, so XLA's subpixel decomposition
+    of the lhs-dilated conv executes 16 MACs per low-res pixel versus 36
+    for the dense 3×3-on-upscaled form — a 2.25× FLOP reduction with the
+    4×-upscaled intermediate never materialized. Gradients compose
+    natively (lhs-dilated convs have standard transpose rules).
+    """
+    w, b = params["w"], params["b"]
+    scale = jax.lax.stop_gradient(params["scale"])
+    dt = compute_dtype or x.dtype
+    w = w.astype(jnp.float32) * scale
+    b = (b.astype(jnp.float32) * scale)
+    m4 = jnp.asarray(_M4, w.dtype)
+    # K[p,q,i,o] = Σ_{u,v} M4[p,u] · w[u,v,i,o] · M4[q,v]
+    k4 = jnp.einsum("pu,uvio,qv->pqio", m4, w, m4).astype(dt)
+    pref = jnp.float32 if dt == jnp.float32 else None
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), k4, window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref)
+    return (y + b.astype(y.dtype)).astype(dt)
 
 
 def upscale_conv3x3(params: Dict[str, jax.Array], x: jax.Array, *,

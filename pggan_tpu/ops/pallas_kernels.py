@@ -142,6 +142,108 @@ def _bias_lrelu_jvp(slope, gain, primals, tangents):
 
 
 # ---------------------------------------------------------------------------
+# lrelu + pixel_norm — the generator's conv epilogue, fused.
+#
+# Every G conv is followed by LReLU then PixelNorm (`lib/blocks.py:119-149`).
+# XLA cannot fuse the cross-channel mean-square into the conv epilogue, so
+# the unfused chain costs ~3 HBM passes over each activation (lrelu pass,
+# reduce pass, scale pass) plus the same again in the backward. These two
+# kernels do each direction in ONE read + ONE write.
+#
+# custom_vjp (NOT custom_jvp): this op is generator-only — the G update is
+# plain first-order value_and_grad, and the D-phase G forward is inside
+# stop_gradient — so capping at first order is safe (the SECOND-order rule
+# applies to discriminator-path ops only, see ops/basic.py docstring). The
+# backward recomputes lrelu/statistics from the saved pre-activation x
+# instead of storing extra residuals.
+# ---------------------------------------------------------------------------
+
+
+def _channel_mean(v: jax.Array, c: int) -> jax.Array:
+    """Per-row mean over channel groups of width `c` along the last axis.
+
+    The kernel rows may pack `lanes // c` pixels into one 128-lane row
+    (lane packing for c < 128); the mean must then reduce each c-wide
+    group independently and broadcast back within the group.
+    """
+    lanes = v.shape[-1]
+    if lanes == c:
+        return jnp.mean(v, axis=-1, keepdims=True)
+    groups = lanes // c
+    parts = [jnp.mean(v[..., g * c:(g + 1) * c], axis=-1, keepdims=True)
+             for g in range(groups)]
+    return jnp.concatenate(
+        [jnp.broadcast_to(p, p.shape[:-1] + (c,)) for p in parts], axis=-1)
+
+
+def _lrelu_pn_fwd_kernel(x_ref, o_ref, *, c: int, slope: float, eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    z = jnp.where(x >= 0, x, x * slope)
+    ms = _channel_mean(z * z, c)
+    o_ref[:] = (z * jax.lax.rsqrt(ms + eps)).astype(o_ref.dtype)
+
+
+def _lrelu_pn_bwd_kernel(x_ref, g_ref, o_ref, *, c: int, slope: float,
+                         eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    z = jnp.where(x >= 0, x, x * slope)
+    inv = jax.lax.rsqrt(_channel_mean(z * z, c) + eps)
+    # (∂y/∂z)ᵀ g for y = z·rsqrt(mean(z²)+eps)  (symmetric operator),
+    # then through lrelu'(x).
+    dz = inv * g - z * (inv * inv * inv) * _channel_mean(z * g, c)
+    o_ref[:] = jnp.where(x >= 0, dz, dz * slope).astype(o_ref.dtype)
+
+
+def _lrelu_pn_call(kernel_fn, out_dtype, c: int, *arrays):
+    # NOTE: measured on v5e at 256²: this kernel LOSES to XLA's fused
+    # lrelu+reduce+scale chain (G fwd 9.6 → 12.7 ms/step; lane-packing
+    # c<128 rows into 128-lane rows made it worse still, 14.7). XLA fuses
+    # the lrelu into the conv epilogue and pipelines the two remaining
+    # passes better than the extra kernel boundary allows. Kept for
+    # capability parity behind impl='pallas' (the reference's CUDA
+    # bias_act analog); production default is impl='xla'.
+    x2s, shape = [], None
+    for a in arrays:
+        a2, shape = _row_view(a)
+        x2s.append(a2)
+    m, width = x2s[0].shape
+    bm = _pick_block_rows(m, width, x2s[0].dtype)
+    out = pl.pallas_call(
+        functools.partial(kernel_fn, c=c),
+        out_shape=jax.ShapeDtypeStruct((m, width), out_dtype),
+        grid=(pl.cdiv(m, bm),),
+        in_specs=[pl.BlockSpec((bm, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * len(x2s),
+        out_specs=pl.BlockSpec((bm, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(*x2s)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def lrelu_pixel_norm(x: jax.Array, slope: float = 0.2,
+                     eps: float = 1e-8) -> jax.Array:
+    """pixel_norm(leaky_relu(x)) in one fused pass (channel-last)."""
+    return _lrelu_pn_call(
+        functools.partial(_lrelu_pn_fwd_kernel, slope=slope, eps=eps),
+        x.dtype, x.shape[-1], x)
+
+
+def _lrelu_pn_fwd_rule(x, slope, eps):
+    return lrelu_pixel_norm(x, slope, eps), x
+
+
+def _lrelu_pn_bwd_rule(slope, eps, x, g):
+    return (_lrelu_pn_call(
+        functools.partial(_lrelu_pn_bwd_kernel, slope=slope, eps=eps),
+        x.dtype, x.shape[-1], x, g),)
+
+
+lrelu_pixel_norm.defvjp(_lrelu_pn_fwd_rule, _lrelu_pn_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # minibatch stddev statistic — per-subgroup unbiased std, averaged
 # (lib/blocks.py:204-233). The concat stays in XLA (pure layout); the
 # kernel computes the [G] statistic in one pass.

@@ -122,17 +122,21 @@ def make_train_step(cfg, scale_index: int,
         lazy_r1 = False
         with_r1 = bool(include_r1)
     impl = str(cfg.impl)
+    if impl == "auto":      # resolve per backend (Pallas kernels are TPU-only)
+        impl = "xla"
     compute_dtype = jnp.bfloat16 if str(cfg.compute_dtype) == "bfloat16" else jnp.float32
+    fused_scale = cfg["fused_scale"] if "fused_scale" in cfg else "dilated"
     remat_cfg = cfg["remat"] if "remat" in cfg else "auto"
-    # 'auto': rematerialize from 512×512 up, where activations no longer
-    # fit HBM next to the R1 double-backward
-    remat = (remat_cfg is True) or (remat_cfg == "auto" and scale_index >= 7)
+    # 'auto': with the dilated fusion + bf16 pooling, every default-table
+    # scale (≤ 1024², batch ≤ 8) fits without remat and runs 15-30% faster
+    # (see config.py); only beyond-table scales rematerialize by default.
+    remat = (remat_cfg is True) or (remat_cfg == "auto" and scale_index >= 9)
 
     def g_apply(params, z, alpha):
         return generator_apply(
             params, z, alpha, slope=slope, apply_pixel_norm=apply_pn,
             last_activation=last_act, compute_dtype=compute_dtype, impl=impl,
-            remat=remat)
+            remat=remat, fused_scale=fused_scale)
 
     def d_apply(params, img, alpha):
         return discriminator_apply(

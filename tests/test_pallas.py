@@ -92,6 +92,27 @@ class TestBiasLreluPallas:
         np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), rtol=1e-4)
 
 
+class TestLreluPixelNormPallas:
+    @pytest.mark.parametrize("shape", [(4, 8, 8, 32), (16, 512), (2, 4, 4, 96)])
+    def test_matches_ref(self, shape):
+        x = rand(*shape, seed=13)
+        got = pk.lrelu_pixel_norm(x, 0.2, 1e-8)
+        want = basic.lrelu_pixel_norm(x, 0.2, 1e-8, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fused_vjp_matches_ref(self):
+        # the backward is its own fused kernel (custom_vjp; this op is
+        # generator-only so first-order suffices — see pallas_kernels.py)
+        x = rand(4, 6, 6, 24, seed=14)
+        g_pal = jax.grad(lambda v: jnp.sum(pk.lrelu_pixel_norm(v, 0.2, 1e-8)
+                                           * jnp.cos(v)))(x)
+        g_ref = jax.grad(lambda v: jnp.sum(
+            basic.lrelu_pixel_norm(v, 0.2, 1e-8, impl="xla") * jnp.cos(v)))(x)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestMinibatchStddevPallas:
     @pytest.mark.parametrize("batch", [4, 8, 6])
     def test_stat_matches_ref(self, batch):

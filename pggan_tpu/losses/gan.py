@@ -101,3 +101,66 @@ def drift_loss(pred_real: jax.Array, w_drift: float) -> jax.Array:
 def generator_loss(pred_fake: jax.Array, w_adv: float) -> jax.Array:
     """G adversarial loss: W_adv · BCE(D(G(z)), 1) (`pggan/loss.py:5-14`)."""
     return w_adv * bce_with_logits(pred_fake, 1)
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction / identity / attribute losses — the rest of the static
+# loss zoo (`lib/loss.py:62-91`), used by the face-swap trainers the
+# reference bundles. Formula-exact ports; all reduce to scalars in f32.
+# ---------------------------------------------------------------------------
+
+
+def id_loss(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Cosine identity loss: mean(1 − cos_sim(a, b, dim=1))
+    (`lib/loss.py:62-63`). Inputs [B, D] embeddings; torch's
+    cosine_similarity clamps each norm at eps=1e-8."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    na = jnp.maximum(jnp.linalg.norm(a, axis=1), eps)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=1), eps)
+    cos = jnp.sum(a * b, axis=1) / (na * nb)
+    return jnp.mean(1.0 - cos)
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Mean absolute error (`lib/loss.py:71-73`, torch.nn.L1Loss)."""
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def l2_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Mean squared error (`lib/loss.py:75-77`, torch.nn.MSELoss)."""
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def l1_loss_with_same_person(a: jax.Array, b: jax.Array,
+                             same_person: jax.Array,
+                             batch_per_gpu: int) -> jax.Array:
+    """Σ_b( mean_b|a−b| · same_person_b ) / (Σ same_person + 1e-6)
+    (`lib/loss.py:79-80`): per-sample mean abs diff, masked to same-person
+    pairs, normalized by the mask count."""
+    d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+    per = jnp.mean(d.reshape(batch_per_gpu, -1), axis=1)
+    mask = same_person.astype(jnp.float32).reshape(batch_per_gpu)
+    return jnp.sum(per * mask) / (jnp.sum(mask) + 1e-6)
+
+
+def l2_loss_with_same_person(a: jax.Array, b: jax.Array,
+                             same_person: jax.Array,
+                             batch_per_gpu: int) -> jax.Array:
+    """Σ_b( 0.5·mean_b(a−b)² · same_person_b ) / (Σ same_person + 1e-6)
+    (`lib/loss.py:82-83`)."""
+    d = jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32))
+    per = 0.5 * jnp.mean(d.reshape(batch_per_gpu, -1), axis=1)
+    mask = same_person.astype(jnp.float32).reshape(batch_per_gpu)
+    return jnp.sum(per * mask) / (jnp.sum(mask) + 1e-6)
+
+
+def attr_loss(a, b, batch_size: int) -> jax.Array:
+    """Multi-level attribute loss (`lib/loss.py:85-91`): for feature lists
+    a, b — Σ_levels Σ_b mean_b(aᵢ−bᵢ)², halved. Note the reference SUMS
+    over the batch per level (`.sum()`), preserved exactly."""
+    total = jnp.float32(0.0)
+    for ai, bi in zip(a, b):
+        d = jnp.square(ai.astype(jnp.float32) - bi.astype(jnp.float32))
+        total += jnp.sum(jnp.mean(d.reshape(batch_size, -1), axis=1))
+    return total / 2.0

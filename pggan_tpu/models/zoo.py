@@ -45,6 +45,168 @@ def _instance_norm(x, eps=1e-5):
 
 
 # ---------------------------------------------------------------------------
+# Generic building blocks: AdaIN, ConvBlock, ResBlock, AdaINResBlock
+# (`lib/utils.py:36-46` AdaIN; `lib/blocks.py:30-111`). Off the PGGAN
+# training path in the reference — capability-surface parity for the
+# face-swap style trainers that use them.
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(rng, in_dim, out_dim, dtype=jnp.float32):
+    k_w, _ = jax.random.split(rng)
+    w = jax.random.normal(k_w, (in_dim, out_dim), dtype) * math.sqrt(1.0 / in_dim)
+    return {"w": w, "b": jnp.zeros((out_dim,), dtype)}
+
+
+def interpolate2d(x: jax.Array, scale_factor: float,
+                  method: str = "bilinear") -> jax.Array:
+    """`Interpolate` analog (`lib/blocks.py:9-18`): F.interpolate with
+    bilinear mode, align_corners=False (half-pixel centers — jax.image
+    semantics), no antialias (torch default)."""
+    if scale_factor == 1:
+        return x
+    n, h, w, c = x.shape
+    out = (n, int(h * scale_factor), int(w * scale_factor), c)
+    return jax.image.resize(x, out, method=method, antialias=False)
+
+
+def _apply_activation(x, kind: str, slope: float = 0.2):
+    """`set_activate_layer` (`lib/utils.py:19-33`)."""
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "lrelu":
+        return leaky_relu(x, slope)
+    if kind == "tanh":
+        return jnp.tanh(x)
+    if kind == "sig":
+        return jax.nn.sigmoid(x)
+    if kind == "none":
+        return x
+    raise ValueError(f"Unsupported activation: {kind}")
+
+
+def init_norm(rng, kind: str, dim: int):
+    """`set_norm_layer` (`lib/utils.py:8-17`): 'bn' carries affine params
+    (torch BatchNorm2d default), 'in'/'none' are parameter-free."""
+    if kind == "bn":
+        return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+    if kind in ("in", "none"):
+        return {}
+    raise ValueError(f"Unsupported normalization: {kind}")
+
+
+def _apply_norm(p, x, kind: str, eps: float = 1e-5):
+    if kind == "bn":
+        # training-mode batch statistics (the reference zoo is train-only;
+        # torch's running-stat eval mode would need tracked buffers)
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    if kind == "in":
+        return _instance_norm(x, eps)
+    return x
+
+
+def init_adain(rng: jax.Array, *, style_dim: int, num_features: int
+               ) -> Dict[str, Any]:
+    """AdaIN (`lib/utils.py:36-46`): fc(style) → [γ, β] per channel."""
+    return {"fc": _linear_init(rng, style_dim, num_features * 2)}
+
+
+def adain_apply(params: Dict[str, Any], x: jax.Array, s: jax.Array
+                ) -> jax.Array:
+    """(1 + γ)·InstanceNorm(x) + β, with [γ ‖ β] = fc(s)
+    (torch chunks channel-first: first half γ, second half β)."""
+    h = s @ params["fc"]["w"] + params["fc"]["b"]
+    c = x.shape[-1]
+    gamma = h[:, :c][:, None, None, :]
+    beta = h[:, c:][:, None, None, :]
+    return (1.0 + gamma) * _instance_norm(x) + beta
+
+
+def init_conv_block(rng: jax.Array, *, input_dim: int, output_dim: int,
+                    kernel_size: int = 3, norm_type: str = "bn",
+                    transpose: bool = False) -> Dict[str, Any]:
+    """ConvBlock (`lib/blocks.py:30-56`): [upsample →] conv → norm → act."""
+    k_c, k_n = jax.random.split(rng)
+    return {"conv": _conv_init(k_c, input_dim, output_dim, kernel_size),
+            "norm": init_norm(k_n, norm_type, output_dim)}
+
+
+def conv_block_apply(params: Dict[str, Any], x: jax.Array, *,
+                     stride: int = 2, norm_type: str = "bn",
+                     activation_type: str = "relu",
+                     transpose: bool = False) -> jax.Array:
+    """transpose=True: bilinear ×stride upsample then stride-1 conv;
+    else strided conv (`lib/blocks.py:36-56`)."""
+    if transpose:
+        x = interpolate2d(x, stride)
+        y = _conv(params["conv"], x, stride=1)
+    else:
+        y = _conv(params["conv"], x, stride=stride)
+    y = _apply_norm(params["norm"], y, norm_type)
+    return _apply_activation(y, activation_type)
+
+
+def init_res_block(rng: jax.Array, *, in_c: int, out_c: int,
+                   norm: str = "in") -> Dict[str, Any]:
+    """ResBlock (`lib/blocks.py:58-85`): pre-norm residual with a 1×1
+    skip; convs are bias-free like the reference."""
+    ks = jax.random.split(rng, 4)
+    p = {"conv1": {"w": _conv_init(ks[0], in_c, out_c, 3)["w"]},
+         "conv2": {"w": _conv_init(ks[1], out_c, out_c, 3)["w"]},
+         "conv1x1": {"w": _conv_init(ks[2], in_c, out_c, 1)["w"]},
+         "norm1": init_norm(ks[3], norm, in_c),
+         "norm2": init_norm(ks[3], norm, out_c)}
+    return p
+
+
+def _conv_nobias(p, x, *, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def res_block_apply(params: Dict[str, Any], x: jax.Array, *,
+                    scale_factor: float = 1, norm: str = "in",
+                    activation: str = "lrelu") -> jax.Array:
+    h = _apply_norm(params["norm1"], x, norm)
+    h = _apply_activation(h, activation)
+    h = _conv_nobias(params["conv1"], h)
+    h = interpolate2d(h, scale_factor)
+    h = _apply_norm(params["norm2"], h, norm)
+    h = _apply_activation(h, activation)
+    h = _conv_nobias(params["conv2"], h)
+    skip = interpolate2d(_conv_nobias(params["conv1x1"], x), scale_factor)
+    return h + skip
+
+
+def init_adain_res_block(rng: jax.Array, *, in_c: int, out_c: int,
+                         style_dim: int = 512) -> Dict[str, Any]:
+    """AdaINResBlock (`lib/blocks.py:87-111`)."""
+    ks = jax.random.split(rng, 5)
+    return {"conv1": {"w": _conv_init(ks[0], in_c, out_c, 3)["w"]},
+            "conv2": {"w": _conv_init(ks[1], out_c, out_c, 3)["w"]},
+            "conv1x1": {"w": _conv_init(ks[2], in_c, out_c, 1)["w"]},
+            "adain1": init_adain(ks[3], style_dim=style_dim, num_features=in_c),
+            "adain2": init_adain(ks[4], style_dim=style_dim, num_features=out_c)}
+
+
+def adain_res_block_apply(params: Dict[str, Any], x: jax.Array,
+                          style: jax.Array, *, scale_factor: float = 1,
+                          activation: str = "lrelu") -> jax.Array:
+    h = adain_apply(params["adain1"], x, style)
+    h = _apply_activation(h, activation)
+    h = _conv_nobias(params["conv1"], h)
+    h = interpolate2d(h, scale_factor)
+    h = adain_apply(params["adain2"], h, style)
+    h = _apply_activation(h, activation)
+    h = _conv_nobias(params["conv2"], h)
+    skip = interpolate2d(_conv_nobias(params["conv1x1"], x), scale_factor)
+    return h + skip
+
+
+# ---------------------------------------------------------------------------
 # PatchGAN / N-layer discriminator (pix2pix-style)
 # ---------------------------------------------------------------------------
 

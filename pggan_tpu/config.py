@@ -110,6 +110,12 @@ _DEFAULTS: Dict[str, Any] = {
     # relative values only, not Inception-FID comparable.
     "fid_cycle": 0,
     "fid_samples": 512,
+    # 'random_conv' (deterministic, relative values) | 'inception'
+    # (canonical InceptionV3 pool3 architecture; supply fid_weights — a
+    # converted torchvision npz, see metrics/inception.py — for values
+    # comparable to published FID numbers)
+    "fid_extractor": "random_conv",
+    "fid_weights": None,
 }
 
 

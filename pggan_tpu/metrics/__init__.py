@@ -5,3 +5,9 @@ from pggan_tpu.metrics.fid import (  # noqa: F401
     fid_between_sets,
     RandomConvFeatures,
 )
+from pggan_tpu.metrics.inception import (  # noqa: F401
+    InceptionV3Features,
+    convert_torchvision_state_dict,
+    inception_v3_features,
+    init_inception_v3,
+)

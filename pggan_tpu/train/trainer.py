@@ -376,10 +376,25 @@ class ProgressiveGANTrainer:
                 self._eval_ds = self.dataset      # synthetic: no augmentation
         return self._eval_ds
 
+    def _fid_extractor(self):
+        """FID feature extractor per config: `fid_extractor` =
+        'random_conv' (default — deterministic, relative values) or
+        'inception' (canonical InceptionV3 pool3; pass `fid_weights` =
+        path to a converted npz for true Inception-FID comparability —
+        metrics/inception.py documents the torchvision conversion)."""
+        kind = str(self.cfg["fid_extractor"]) \
+            if "fid_extractor" in self.cfg else "random_conv"
+        if kind == "inception":
+            from pggan_tpu.metrics import InceptionV3Features
+            weights = self.cfg["fid_weights"] if "fid_weights" in self.cfg else None
+            return InceptionV3Features(weights=weights)
+        from pggan_tpu.metrics import RandomConvFeatures
+        return RandomConvFeatures(feature_dim=256)
+
     def compute_fid(self, num_samples: Optional[int] = None) -> float:
         """FID between generated samples and held-out (un-augmented) reals
-        at the current scale, using the deterministic random-conv extractor
-        (`metrics/fid.py`; relative metric — see its docstring).
+        at the current scale, using the configured extractor (random-conv
+        default, or InceptionV3 — see `_fid_extractor`).
 
         Single-process evaluation: on multi-host runs FID is skipped (the
         sampler would need all-process participation on the global mesh).
@@ -388,7 +403,7 @@ class ProgressiveGANTrainer:
             if self.is_master:
                 print("[pggan_tpu] compute_fid skipped on multi-host runs")
             return float("nan")
-        from pggan_tpu.metrics import fid_between_sets, RandomConvFeatures
+        from pggan_tpu.metrics import fid_between_sets
 
         cfg = self.cfg
         n = int(num_samples or cfg.fid_samples)
@@ -418,9 +433,14 @@ class ProgressiveGANTrainer:
         eval_ds = self._eval_dataset()
 
         def real_batches():
-            indices = (self._valid_indices if self._valid_indices is not None
-                       and len(self._valid_indices) >= batch
-                       else self._train_indices)
+            if (self._valid_indices is not None
+                    and len(self._valid_indices) >= batch):
+                indices = self._valid_indices
+            else:
+                indices = self._train_indices
+                if self.is_master:
+                    print("[pggan_tpu] FID reals: valid split smaller than "
+                          "one batch — falling back to train indices")
             rs = np.random.RandomState(0)
             done = 0
             while done < n:
@@ -431,7 +451,7 @@ class ProgressiveGANTrainer:
                     for i in sel])
                 done += take
 
-        extractor = RandomConvFeatures(feature_dim=256)
+        extractor = self._fid_extractor()
         return fid_between_sets(real_batches(), fake_batches(), extractor,
                                 max_samples=n)
 

@@ -8,14 +8,17 @@ stack with learned 1×1 channel weights loaded from a local checkpoint
 
 This environment has no network egress and no bundled AlexNet weights, so
 the perceptual metric here is:
-  * the same architecture shape: a conv feature pyramid, per-layer unit
-    normalization over channels, learned (or unit) 1×1 weights, spatial
-    averaging, layer sum (exactly LPIPS's structure);
-  * a fixed-seed random backbone by default (deterministic, valid as a
-    relative perceptual distance; not numerically comparable to AlexNet
-    LPIPS);
-  * `load_linear_weights(path)` / backbone injection hooks so real LPIPS
-    weights can be dropped in from a local npz.
+  * the EXACT torchvision AlexNet `features` topology (conv paddings
+    2/2/1/1/1, strides 4/1/1/1/1, biases, 3×3/2 maxpools after relu1 and
+    relu2) with taps after every ReLU — real AlexNet + LPIPS weights map
+    layer-for-layer;
+  * per-layer unit channel normalization, learned (or unit) 1×1 weights,
+    spatial mean, layer sum (exactly LPIPS's structure, `lpips.py:25-41`);
+  * fixed-seed random init by default (deterministic, valid as a relative
+    perceptual distance; not numerically comparable until real weights
+    are loaded);
+  * `load_linear_weights(path)` / `load_backbone_weights(path)` hooks for
+    a local npz (keys lin0..lin4 / conv{i}_w, conv{i}_b).
 """
 
 from __future__ import annotations
@@ -29,10 +32,12 @@ import numpy as np
 
 
 class PerceptualDistance:
-    # AlexNet-like widths (lpips backbone stages)
+    # torchvision AlexNet `features` conv stack (lpips backbone)
     _WIDTHS = (64, 192, 384, 256, 256)
-    _STRIDES = (4, 2, 2, 1, 1)
+    _STRIDES = (4, 1, 1, 1, 1)
     _KERNELS = (11, 5, 3, 3, 3)
+    _PADS = (2, 2, 1, 1, 1)
+    _POOL_AFTER = (0, 1)        # 3×3/2 maxpool after relu1 and relu2
 
     def __init__(self, seed: int = 7, linear_weights: Optional[List[np.ndarray]] = None):
         rng = jax.random.PRNGKey(seed)
@@ -42,7 +47,7 @@ class PerceptualDistance:
             key = jax.random.fold_in(rng, i)
             w = jax.random.normal(key, (k, k, c_in, c_out), jnp.float32)
             w = w * math.sqrt(2.0 / (k * k * c_in))
-            self.backbone.append(w)
+            self.backbone.append({"w": w, "b": jnp.zeros((c_out,), jnp.float32)})
             c_in = c_out
         if linear_weights is None:
             self.linear = [jnp.ones((c,), jnp.float32) / c for c in self._WIDTHS]
@@ -56,15 +61,32 @@ class PerceptualDistance:
         with np.load(path) as data:
             return [data[f"lin{i}"] for i in range(5)]
 
+    def load_backbone_weights(self, path: str) -> "PerceptualDistance":
+        """Load AlexNet conv weights from a local npz (keys conv{i}_w
+        [k,k,in,out] and conv{i}_b [out], i = 0..4 — transpose torchvision
+        `features.{0,3,6,8,10}.weight` from OIHW)."""
+        with np.load(path) as data:
+            self.backbone = [
+                {"w": jnp.asarray(data[f"conv{i}_w"]),
+                 "b": jnp.asarray(data[f"conv{i}_b"])}
+                for i in range(5)]
+        return self
+
     def _features(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         feats = []
         y = x.astype(jnp.float32)
-        for w, stride in zip(self.backbone, self._STRIDES):
+        for i, (p, stride, pad) in enumerate(
+                zip(self.backbone, self._STRIDES, self._PADS)):
             y = jax.lax.conv_general_dilated(
-                y, w, window_strides=(stride, stride), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y, p["w"], window_strides=(stride, stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
             y = jax.nn.relu(y)
             feats.append(y)
+            if i in self._POOL_AFTER:   # torch MaxPool2d(3, 2) — VALID
+                y = jax.lax.reduce_window(
+                    y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                    "VALID")
         return feats
 
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -34,8 +34,14 @@ def _bn_init(c):
 
 
 def _conv(p, x, stride=1):
+    # Explicit symmetric k//2 padding (torch Conv2d semantics): XLA's
+    # "SAME" pads asymmetrically for strided convs (end-heavy), which
+    # shifts every stride-2 window by one pixel vs the torch reference —
+    # weight-ported backbones would silently diverge.
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
     return jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), "SAME",
+        x, p["w"], (stride, stride),
+        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -140,63 +146,112 @@ def init_irse(rng: jax.Array, *, num_layers: int = 50, input_dim: int = 3,
     flatten → linear embedding (l2-normalized at apply time)."""
     assert num_layers in _IRSE_STAGES
     params: Dict[str, Any] = {
-        "stem": {**_conv_init(jax.random.fold_in(rng, 0), input_dim, 64, 3),
-                 "bn": _bn_init(64)},
-        "stages": [],
+        "stem": init_irse_stem(jax.random.fold_in(rng, 0), input_dim),
+        "stages": init_irse_stages(rng, num_layers=num_layers),
     }
+    feat_side = input_size // 16
+    # output_layer (`arcface.py:99-103`): BN2d(512) → Dropout → Flatten →
+    # Linear(512·side², 512) → BN1d(512); dropout is an inference no-op.
+    params["head_bn2d"] = _bn_init(512)
+    params["head"] = _linear_init(jax.random.fold_in(rng, 7),
+                                  512 * feat_side * feat_side, embedding_dim)
+    params["head_bn1d"] = _bn_init(embedding_dim)
+    return params
+
+
+def init_irse_stem(rng: jax.Array, input_dim: int = 3) -> Dict[str, Any]:
+    """conv3×3/1 + BN + per-channel PReLU (`arcface.py:92-94`,
+    identically `e4e.py:192-194` input_layer)."""
+    return {**_conv_init(rng, input_dim, 64, 3), "bn": _bn_init(64),
+            "prelu": jnp.full((64,), 0.25)}
+
+
+def init_irse_stages(rng: jax.Array, *, num_layers: int = 50
+                     ) -> List[List[Dict[str, Any]]]:
+    """The bottleneck-IR-SE body shared by ArcFace (`arcface.py:30-53`)
+    and e4e (`e4e.py:159-183`) — weight-mappable structure:
+      * per-channel PReLU parameters (torch nn.PReLU(depth))
+      * SE convs are bias-free (SEModule fc1/fc2, `e4e.py:144-147`)
+      * shortcut: MaxPool2d(1, stride) — a pure subsample — when
+        in_channel == depth; conv1×1+BN only on channel changes
+        (`e4e.py:162-168`)
+    """
+    stages: List[List[Dict[str, Any]]] = []
     c_in = 64
     for s, (width, count) in enumerate(_IRSE_STAGES[num_layers]):
         stage = []
         for b in range(count):
             k = jax.random.fold_in(rng, 1000 * (s + 1) + b)
-            stride = _irse_stride(b)       # structural, not a pytree leaf
             se_dim = max(width // 16, 1)
             block = {
                 "bn0": _bn_init(c_in),
                 "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, width, 3),
-                "bn1": _bn_init(width),
+                "prelu": jnp.full((width,), 0.25),
                 "conv2": _conv_init(jax.random.fold_in(k, 1), width, width, 3),
                 "bn2": _bn_init(width),
-                "se_fc1": _linear_init(jax.random.fold_in(k, 2), width, se_dim),
-                "se_fc2": _linear_init(jax.random.fold_in(k, 3), se_dim, width),
+                "se_fc1": {"w": _linear_init(jax.random.fold_in(k, 2), width, se_dim)["w"]},
+                "se_fc2": {"w": _linear_init(jax.random.fold_in(k, 3), se_dim, width)["w"]},
             }
-            if stride != 1 or c_in != width:
+            if c_in != width:
                 block["down"] = _conv_init(jax.random.fold_in(k, 4), c_in, width, 1)
                 block["down_bn"] = _bn_init(width)
             stage.append(block)
             c_in = width
-        params["stages"].append(stage)
-    feat_side = input_size // 16
-    params["head"] = _linear_init(jax.random.fold_in(rng, 7),
-                                  512 * feat_side * feat_side, embedding_dim)
-    return params
+        stages.append(stage)
+    return stages
 
 
-def _prelu(x, slope=0.25):
+def _prelu(x, slope):
+    slope = jnp.reshape(slope, (1,) * (x.ndim - 1) + (-1,))
     return jnp.where(x >= 0, x, x * slope)
+
+
+def irse_block_apply(block: Dict[str, Any], y: jax.Array, stride: int
+                     ) -> jax.Array:
+    """One bottleneck-IR-SE unit (`e4e.py:159-183` / `arcface.py:30-53`):
+    res = SE(BN(conv3x3/stride(PReLU(BN(conv3x3(BN0(x))))))), shortcut =
+    subsample or conv1×1/stride + BN, output res + shortcut.
+
+    NOTE the reference applies conv1 at stride 1 and conv2 at `stride`
+    (`e4e.py:169-176`), and its res_layer has NO trailing activation.
+    """
+    h = _bn(block["bn0"], y)
+    h = _prelu(_conv(block["conv1"], h), block["prelu"])
+    h = _bn(block["bn2"], _conv(block["conv2"], h, stride))
+    # squeeze-excitation (bias-free 1×1 convs ≡ linears on pooled vector)
+    se = jnp.mean(h, axis=(1, 2))
+    se = jax.nn.relu(se @ block["se_fc1"]["w"])
+    se = jax.nn.sigmoid(se @ block["se_fc2"]["w"])
+    h = h * se[:, None, None, :]
+    if "down" in block:
+        skip = _bn(block["down_bn"], _conv(block["down"], y, stride))
+    elif stride != 1:
+        skip = y[:, ::stride, ::stride, :]      # MaxPool2d(1, stride)
+    else:
+        skip = y
+    return h + skip
+
+
+def irse_trunk_apply(stem: Dict[str, Any], stages, x: jax.Array,
+                     *, taps: bool = False):
+    """Stem + body. taps=True also returns the per-stage outputs
+    [c0, c1, c2, c3] (stage ends — for IR-SE-50 these are flattened body
+    indices 2/6/20/23, exactly the reference e4e taps `e4e.py:236-243`)."""
+    y = _prelu(_bn(stem["bn"], _conv(stem, x)), stem["prelu"])
+    outs = []
+    for stage in stages:
+        for b, block in enumerate(stage):
+            y = irse_block_apply(block, y, _irse_stride(b))
+        outs.append(y)
+    return (y, outs) if taps else y
 
 
 def irse_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     """NHWC face crop → l2-normalized embedding [B, 512]
     (`arcface.py:100-118`: output_layer then l2_norm)."""
-    y = _prelu(_bn(params["stem"]["bn"], _conv(params["stem"], x)))
-    for stage in params["stages"]:
-        for b, block in enumerate(stage):
-            stride = _irse_stride(b)
-            h = _bn(block["bn0"], y)
-            h = _prelu(_bn(block["bn1"], _conv(block["conv1"], h)))
-            h = _bn(block["bn2"], _conv(block["conv2"], h, stride))
-            # squeeze-excitation
-            se = jnp.mean(h, axis=(1, 2))
-            se = jax.nn.relu(se @ block["se_fc1"]["w"] + block["se_fc1"]["b"])
-            se = jax.nn.sigmoid(se @ block["se_fc2"]["w"] + block["se_fc2"]["b"])
-            h = h * se[:, None, None, :]
-            skip = y
-            if "down" in block:
-                skip = _bn(block["down_bn"], _conv(block["down"], y, stride))
-            elif stride != 1:
-                skip = downscale2d(y, stride)
-            y = h + skip
+    y = irse_trunk_apply(params["stem"], params["stages"], x)
+    y = _bn(params["head_bn2d"], y)
     y = y.transpose(0, 3, 1, 2).reshape(y.shape[0], -1)   # torch flatten order
     emb = y @ params["head"]["w"] + params["head"]["b"]
+    emb = _bn(params["head_bn1d"], emb)
     return emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True) + 1e-10)

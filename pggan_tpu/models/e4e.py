@@ -1,30 +1,40 @@
 """Gradual-style encoder — `submodel/e4e.py` analog (Encoder4Editing).
 
-Architecture parity with the reference (`e4e.py:62-82,185-259`): an IR-SE
-backbone trunk over the input face, an FPN-style three-level feature
-pyramid, and one GradualStyleBlock per target latent (coarse styles read
-the deepest level, medium/fine styles the upsampled fusions), emitting
-`n_styles` latent vectors of `style_dim` plus the reference's progressive
-training stage machinery (deltas w.r.t. the first style, gated by stage).
+Architecture parity with the reference (`e4e.py:185-259`): the FULL
+bottleneck-IR-SE-50 body as the trunk (shared with the ArcFace backbone —
+`models/backbones.py init_irse_stages`), feature taps at the reference's
+flattened body indices 6 / 20 / 23 (`e4e.py:236-243`) — which are exactly
+the last units of the 128/256/512 stages — an FPN that fuses deep→shallow
+via 1×1 laterals + nearest-upsample-add (`e4e.py:218-219, 251-254`), and
+one GradualStyleBlock per target latent: coarse styles (i < 3) read c3,
+middle (3 ≤ i < 7) the c2 fusion, fine the c1 fusion, each emitting a
+delta on the first style w0 gated by the progressive training stage
+(`e4e.py:244-259`).
 
-Off the PGGAN training path in the reference; structural capability (◐):
-pretrained weights are absent from this environment (and from the
-reference repo), loadable from npz via the standard pytree path restore.
+Weight-mappable ◐ structure: the trunk pytree is the IR-SE pytree (real
+e4e checkpoints map path-wise onto stem/stages), GradualStyleBlock's
+linear is the reference EqualLinear (runtime 1/√in scale, `e4e.py:85-114`).
+Pretrained weights are absent from this environment; load from npz via
+the standard pytree path restore.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 
-from pggan_tpu.models.backbones import _bn, _bn_init, _conv, _conv_init
+from pggan_tpu.models.backbones import (_conv, _conv_init, _irse_stride,
+                                        init_irse_stem, init_irse_stages,
+                                        irse_block_apply, _prelu, _bn)
 
 
 def _gradual_style_block_init(rng, in_ch, style_dim, spatial):
-    """conv-downsample chain to 1×1 then linear (`e4e.py:36-59`)."""
+    """conv3×3/2 + LeakyReLU chain down to 1×1, then EqualLinear
+    (`e4e.py:117-139`): first conv maps in_ch→style_dim, the remaining
+    num_pools−1 keep style_dim."""
     num_pools = int(math.log2(spatial))
     convs = []
     c = in_ch
@@ -32,32 +42,38 @@ def _gradual_style_block_init(rng, in_ch, style_dim, spatial):
         convs.append(_conv_init(jax.random.fold_in(rng, i), c, style_dim, 3))
         c = style_dim
     k = jax.random.fold_in(rng, 99)
-    w = jax.random.normal(k, (style_dim, style_dim)) * math.sqrt(1.0 / style_dim)
-    return {"convs": convs, "linear": {"w": w, "b": jnp.zeros((style_dim,))}}
+    # EqualLinear (`e4e.py:85-114`): weight ~ N(0,1)/lr_mul, runtime scale
+    # (1/√in)·lr_mul, bias·lr_mul; lr_mul = 1 here.
+    w = jax.random.normal(k, (style_dim, style_dim))
+    return {"convs": convs,
+            "linear": {"w": w, "b": jnp.zeros((style_dim,)),
+                       "scale": jnp.asarray(1.0 / math.sqrt(style_dim))}}
 
 
 def _gradual_style_block(p, x):
     y = x
     for conv in p["convs"]:
-        y = jax.nn.leaky_relu(_conv(conv, y, stride=2), 0.2)
+        y = jax.nn.leaky_relu(_conv(conv, y, stride=2), 0.01)  # torch default
     y = y.reshape(y.shape[0], -1)
-    return y @ p["linear"]["w"] + p["linear"]["b"]
+    lin = p["linear"]
+    scale = jax.lax.stop_gradient(lin["scale"])     # runtime constant
+    return y @ (lin["w"] * scale) + lin["b"]
 
 
 def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
                      style_dim: int = 512, input_dim: int = 3,
+                     num_layers: int = 50,
                      coarse_ind: int = 3, middle_ind: int = 7
                      ) -> Dict[str, Any]:
-    """Trunk: conv stem + 3 stride-2 stages (64/128/256ch at 1/2,1/4,1/8
-    then 512 at 1/16); FPN laterals fuse deep→shallow; style blocks read
-    c3 (coarse), c2-fused (middle), c1-fused (fine) like `e4e.py:185-232`.
+    """Full e4e pytree: IR-SE-50 stem+body, FPN laterals, style heads.
+
+    n_styles = 2·log2(output_size) − 2 (18 for a 1024² StyleGAN,
+    `e4e.py:206-208`).
     """
     params: Dict[str, Any] = {
-        "stem": {**_conv_init(jax.random.fold_in(rng, 0), input_dim, 64, 3),
-                 "bn": _bn_init(64)},
-        "stage1": _conv_init(jax.random.fold_in(rng, 1), 64, 128, 3),
-        "stage2": _conv_init(jax.random.fold_in(rng, 2), 128, 256, 3),
-        "stage3": _conv_init(jax.random.fold_in(rng, 3), 256, 512, 3),
+        "stem": init_irse_stem(jax.random.fold_in(rng, 0), input_dim),
+        "stages": init_irse_stages(jax.random.fold_in(rng, 1),
+                                   num_layers=num_layers),
         "latlayer1": _conv_init(jax.random.fold_in(rng, 4), 256, 512, 1),
         "latlayer2": _conv_init(jax.random.fold_in(rng, 5), 128, 512, 1),
         # coarse/middle/fine split is encoded structurally in each style
@@ -65,7 +81,7 @@ def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
         # all be arrays so checkpoints round-trip
         "styles": [],
     }
-    # spatial extents assuming 256 input: c3 16, c2 32, c1 64
+    # spatial extents are the reference constants 16/32/64 (`e4e.py:210-216`)
     for i in range(n_styles):
         spatial = 16 if i < coarse_ind else (32 if i < middle_ind else 64)
         params["styles"].append(_gradual_style_block_init(
@@ -73,35 +89,60 @@ def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
     return params
 
 
+def _bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (corner-to-corner grid —
+    torch F.interpolate semantics; jax.image.resize only does half-pixel
+    centers, so this is hand-rolled as two separable 1-D lerps)."""
+    b, h, w, c = x.shape
+
+    def coords(out, size):
+        if out == 1 or size == 1:
+            return jnp.zeros((out,)), jnp.zeros((out,), jnp.int32), \
+                jnp.zeros((out,), jnp.int32)
+        src = jnp.arange(out) * ((size - 1) / (out - 1))
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, size - 1)
+        hi = jnp.minimum(lo + 1, size - 1)
+        return src - lo, lo, hi
+
+    fy, y0, y1 = coords(out_h, h)
+    fx, x0, x1 = coords(out_w, w)
+    x = x[:, y0] * (1.0 - fy)[None, :, None, None] + \
+        x[:, y1] * fy[None, :, None, None]
+    x = x[:, :, x0] * (1.0 - fx)[None, None, :, None] + \
+        x[:, :, x1] * fx[None, None, :, None]
+    return x
+
+
 def _up_add(deep, lateral):
-    bsz, h, w, c = lateral.shape
-    dh, dw = deep.shape[1], deep.shape[2]
-    fy, fx = h // dh, w // dw
-    up = deep[:, :, None, :, None, :]
-    up = jnp.broadcast_to(up, (bsz, dh, fy, dw, fx, c)).reshape(bsz, h, w, c)
-    return up + lateral
+    """FPN merge `_upsample_add` (`e4e.py:261-278`): bilinear-upsample
+    deep to the lateral's size with align_corners=True, then add."""
+    _, h, w, _ = lateral.shape
+    return _bilinear_align_corners(deep, h, w) + lateral
 
 
 def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
-                      *, progressive_stage: int = None) -> jax.Array:
+                      *, progressive_stage: Optional[int] = None
+                      ) -> jax.Array:
     """NHWC 256×256 face → [B, n_styles, style_dim] latents.
 
     `progressive_stage` reproduces the reference's staged training
-    (`e4e.py:233-259`): style 0 broadcasts to every slot; styles 1..k add
+    (`e4e.py:244-259`): style 0 broadcasts to every slot; styles 1..k add
     their delta only once the stage reaches them (stage=None → all on,
     the inference configuration).
     """
-    # stem stride 2 → c1 at 1/4 (64px for 256 input), c2 at 1/8 (32),
-    # c3 at 1/16 (16) — matching the style blocks' pooling depths
-    y = jax.nn.leaky_relu(
-        _bn(params["stem"]["bn"], _conv(params["stem"], x, stride=2)), 0.2)
-    c1 = jax.nn.leaky_relu(_conv(params["stage1"], y, stride=2), 0.2)   # 1/4·128
-    c2 = jax.nn.leaky_relu(_conv(params["stage2"], c1, stride=2), 0.2)  # 1/8·256
-    c3 = jax.nn.leaky_relu(_conv(params["stage3"], c2, stride=2), 0.2)  # 1/16·512
+    # stem (stride 1) then the IR-SE body; taps = stage-end features:
+    # c1 after flattened unit 6 (128ch, 1/4), c2 after 20 (256ch, 1/8),
+    # c3 after 23 (512ch, 1/16) — `e4e.py:236-243`
+    y = _prelu(_bn(params["stem"]["bn"], _conv(params["stem"], x)),
+               params["stem"]["prelu"])
+    taps = []
+    for stage in params["stages"]:
+        for b, block in enumerate(stage):
+            y = irse_block_apply(block, y, _irse_stride(b))
+        taps.append(y)
+    c1, c2, c3 = taps[1], taps[2], taps[3]
 
     n_styles = len(params["styles"])
-    # pooling depth 4 → reads the 16px level (coarse), 5 → 32px (middle),
-    # 6 → 64px (fine)
     depth_of = [len(s["convs"]) for s in params["styles"]]
     p2 = _up_add(c3, _conv(params["latlayer1"], c2))
     p1 = _up_add(p2, _conv(params["latlayer2"], c1))
@@ -112,7 +153,7 @@ def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
     for i in range(1, n_styles):
         feat = c3 if depth_of[i] == 4 else (p2 if depth_of[i] == 5 else p1)
         delta = _gradual_style_block(params["styles"][i], feat)
-        # staged deltas (`e4e.py:246-255`): beyond the current stage the
+        # staged deltas (`e4e.py:255-259`): beyond the current stage the
         # slot just repeats w0
         latents.append(w0 + delta if i <= stage else w0)
     return jnp.stack(latents, axis=1)

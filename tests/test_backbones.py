@@ -125,6 +125,110 @@ class TestE4E:
                                    np.asarray(lat2[:, 0]), rtol=1e-5)
 
 
+class TestE4ETrunk:
+    def test_body_is_irse50(self):
+        # the trunk must be the full bottleneck-IR-SE-50 body so real e4e
+        # checkpoints are structurally mappable (e4e.py:195-202): 24 units
+        # in stages of 3/4/14/3 with widths 64/128/256/512
+        from pggan_tpu.models.e4e import init_e4e_encoder
+        p = init_e4e_encoder(jax.random.PRNGKey(0), n_styles=6)
+        counts = [len(s) for s in p["stages"]]
+        assert counts == [3, 4, 14, 3]
+        widths = [s[-1]["conv2"]["w"].shape[-1] for s in p["stages"]]
+        assert widths == [64, 128, 256, 512]
+        # per-channel PReLU + bias-free SE — the torch-mappable details
+        blk = p["stages"][2][0]
+        assert blk["prelu"].shape == (256,)
+        assert set(blk["se_fc1"]) == {"w"} and set(blk["se_fc2"]) == {"w"}
+
+    def test_taps_feed_correct_lateral_widths(self):
+        from pggan_tpu.models.e4e import init_e4e_encoder
+        p = init_e4e_encoder(jax.random.PRNGKey(0), n_styles=6)
+        assert p["latlayer1"]["w"].shape == (1, 1, 256, 512)   # c2 lateral
+        assert p["latlayer2"]["w"].shape == (1, 1, 128, 512)   # c1 lateral
+
+    def test_equal_linear_has_runtime_scale(self):
+        from pggan_tpu.models.e4e import init_e4e_encoder
+        import math
+        p = init_e4e_encoder(jax.random.PRNGKey(0), n_styles=4)
+        lin = p["styles"][0]["linear"]
+        np.testing.assert_allclose(float(lin["scale"]),
+                                   1.0 / math.sqrt(512), rtol=1e-6)
+
+
+class TestIRSETorchParity:
+    @pytest.mark.parametrize("cin,width,stride", [(64, 64, 2), (64, 128, 2),
+                                                  (128, 128, 1)])
+    def test_block_matches_torch(self, cin, width, stride):
+        # one bottleneck-IR-SE unit vs a torch-functional transcription of
+        # the reference module (arcface.py:33-53 / e4e.py:159-183),
+        # covering both shortcut modes (MaxPool(1,s) and conv1x1+BN)
+        import torch
+        import torch.nn.functional as F
+        from pggan_tpu.models.backbones import (init_irse_stages,
+                                                irse_block_apply)
+        stages = init_irse_stages(jax.random.PRNGKey(3))
+        # pick a template block of the right shape, then randomize stats
+        rs = np.random.RandomState(0)
+        se_dim = max(width // 16, 1)
+        blk = {
+            "bn0": {"scale": jnp.asarray(rs.rand(cin) + 0.5, jnp.float32),
+                    "bias": jnp.asarray(rs.randn(cin) * .1, jnp.float32),
+                    "mean": jnp.asarray(rs.randn(cin) * .1, jnp.float32),
+                    "var": jnp.asarray(rs.rand(cin) + 0.5, jnp.float32)},
+            "conv1": {"w": jnp.asarray(rs.randn(3, 3, cin, width) * .1, jnp.float32)},
+            "prelu": jnp.asarray(rs.rand(width) * 0.5, jnp.float32),
+            "conv2": {"w": jnp.asarray(rs.randn(3, 3, width, width) * .1, jnp.float32)},
+            "bn2": {"scale": jnp.asarray(rs.rand(width) + 0.5, jnp.float32),
+                    "bias": jnp.asarray(rs.randn(width) * .1, jnp.float32),
+                    "mean": jnp.asarray(rs.randn(width) * .1, jnp.float32),
+                    "var": jnp.asarray(rs.rand(width) + 0.5, jnp.float32)},
+            "se_fc1": {"w": jnp.asarray(rs.randn(width, se_dim) * .1, jnp.float32)},
+            "se_fc2": {"w": jnp.asarray(rs.randn(se_dim, width) * .1, jnp.float32)},
+        }
+        if cin != width:
+            blk["down"] = {"w": jnp.asarray(rs.randn(1, 1, cin, width) * .1,
+                                            jnp.float32)}
+            blk["down_bn"] = {"scale": jnp.ones((width,)),
+                              "bias": jnp.zeros((width,)),
+                              "mean": jnp.zeros((width,)),
+                              "var": jnp.ones((width,))}
+        x = rs.randn(2, 8, 8, cin).astype(np.float32)
+        got = np.asarray(irse_block_apply(blk, jnp.asarray(x), stride))
+
+        t = lambda a: torch.from_numpy(np.asarray(a).copy())
+        tx = t(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            h = F.batch_norm(tx, t(blk["bn0"]["mean"]), t(blk["bn0"]["var"]),
+                             t(blk["bn0"]["scale"]), t(blk["bn0"]["bias"]),
+                             training=False, eps=1e-5)
+            h = F.conv2d(h, t(blk["conv1"]["w"]).permute(3, 2, 0, 1), padding=1)
+            h = F.prelu(h, t(blk["prelu"]))
+            h = F.conv2d(h, t(blk["conv2"]["w"]).permute(3, 2, 0, 1),
+                         stride=stride, padding=1)
+            h = F.batch_norm(h, t(blk["bn2"]["mean"]), t(blk["bn2"]["var"]),
+                             t(blk["bn2"]["scale"]), t(blk["bn2"]["bias"]),
+                             training=False, eps=1e-5)
+            se = F.adaptive_avg_pool2d(h, 1)
+            se = F.relu(F.conv2d(se, t(blk["se_fc1"]["w"]).permute(1, 0)[:, :, None, None]))
+            se = torch.sigmoid(F.conv2d(se, t(blk["se_fc2"]["w"]).permute(1, 0)[:, :, None, None]))
+            h = h * se
+            if cin != width:
+                skip = F.conv2d(tx, t(blk["down"]["w"]).permute(3, 2, 0, 1),
+                                stride=stride)
+                skip = F.batch_norm(skip, t(blk["down_bn"]["mean"]),
+                                    t(blk["down_bn"]["var"]),
+                                    t(blk["down_bn"]["scale"]),
+                                    t(blk["down_bn"]["bias"]),
+                                    training=False, eps=1e-5)
+            elif stride != 1:
+                skip = F.max_pool2d(tx, 1, stride)
+            else:
+                skip = tx
+            want = (h + skip).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 class TestIRSE:
     def test_embedding_normalized(self):
         p = init_irse(jax.random.PRNGKey(0), num_layers=50, input_size=32)

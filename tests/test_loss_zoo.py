@@ -88,6 +88,32 @@ class TestAdaINGolden:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+class TestLPIPSBackboneParity:
+    def test_features_match_torch_alexnet_topology(self):
+        # the backbone must be the exact torchvision AlexNet `features`
+        # graph (paddings 2/2/1/1/1, stride-4 first conv, 3x3/2 maxpools
+        # after relu1/relu2) so real LPIPS weights map layer-for-layer
+        from pggan_tpu.losses.perceptual import PerceptualDistance
+        pd = PerceptualDistance(seed=3)
+        x = rnd(2, 3, 64, 64, seed=20)  # NCHW for torch
+        got = pd._features(jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+        y = torch.from_numpy(x)
+        want = []
+        with torch.no_grad():
+            for i, (p, stride, pad) in enumerate(zip(
+                    pd.backbone, pd._STRIDES, pd._PADS)):
+                w = torch.from_numpy(np.asarray(p["w"]).transpose(3, 2, 0, 1).copy())
+                b = torch.from_numpy(np.asarray(p["b"]))
+                y = F.relu(F.conv2d(y, w, b, stride=stride, padding=pad))
+                want.append(y.numpy().transpose(0, 2, 3, 1))
+                if i in pd._POOL_AFTER:
+                    y = F.max_pool2d(y, 3, 2)
+        assert len(got) == 5
+        for g, t in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), t, rtol=1e-4, atol=1e-5)
+
+
 class TestGenericBlocks:
     def test_conv_block_shapes_and_modes(self):
         p = zoo.init_conv_block(jax.random.PRNGKey(1), input_dim=8,

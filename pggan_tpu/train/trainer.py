@@ -291,27 +291,32 @@ class ProgressiveGANTrainer:
                 self.check_jump(step)
                 images = self.train_step()
 
-                if self.is_master:
-                    if step % cfg.loss_cycle == 0:
-                        self.loss_collector.update(self._last_metrics)
-                        now = time.time()
-                        # _rate_anchor resets at scale jumps (_fresh_state),
-                        # so the window never straddles a batch-size change
-                        if self._rate_anchor and step > self._rate_anchor[1]:
-                            t0, s0 = self._rate_anchor
-                            rate = ((step - s0) * self.local_batch_size *
-                                    jax.process_count() / (now - t0))
-                            self.loss_collector.loss_dict["imgs_per_sec"] = \
-                                round(rate, 1)
-                        self._rate_anchor = (now, step)
-                        self.logger.log(step, self.loss_collector.loss_dict)
-                        self.loss_collector.print_loss(step)
-                    if step % cfg.test_cycle == 0:
+                if self.is_master and step % cfg.loss_cycle == 0:
+                    self.loss_collector.update(self._last_metrics)
+                    now = time.time()
+                    # _rate_anchor resets at scale jumps (_fresh_state),
+                    # so the window never straddles a batch-size change
+                    if self._rate_anchor and step > self._rate_anchor[1]:
+                        t0, s0 = self._rate_anchor
+                        rate = ((step - s0) * self.local_batch_size *
+                                jax.process_count() / (now - t0))
+                        self.loss_collector.loss_dict["imgs_per_sec"] = \
+                            round(rate, 1)
+                    self._rate_anchor = (now, step)
+                    self.logger.log(step, self.loss_collector.loss_dict)
+                    self.loss_collector.print_loss(step)
+                # Evaluation hooks run on EVERY process — the compute is
+                # SPMD over the global mesh (a master-only call would hang
+                # multi-host runs waiting on the other processes); only the
+                # logging inside is master-gated.
+                if step % cfg.test_cycle == 0:
+                    if self.is_master:
                         self.save_image(images, step)
-                        if cfg.use_validation:
-                            self.validation(step)
-                    if cfg.fid_cycle and step % cfg.fid_cycle == 0 and step:
-                        fid = self.compute_fid()
+                    if cfg.use_validation:
+                        self.validation(step)
+                if cfg.fid_cycle and step % cfg.fid_cycle == 0 and step:
+                    fid = self.compute_fid()
+                    if self.is_master:
                         self.logger.log(step, {"fid": fid})
                         print(f"step {step}: FID = {fid:.2f}")
                 step += 1
@@ -340,9 +345,12 @@ class ProgressiveGANTrainer:
     def validation(self, step: int):
         """Mean D logits on a held-out batch — the reference declares a
         validation split then leaves `validation()` as `pass`
-        (`pggan/model.py:260-261`); this makes it real."""
-        if jax.process_count() > 1:
-            return      # master-only eval on global-mesh params would hang
+        (`pggan/model.py:260-261`); this makes it real.
+
+        Multi-host: every process calls this (fit does); the batch is
+        globally sharded via the pipeline's shard_fn and the eval executes
+        SPMD, so the mean logit is replicated — only the master logs it.
+        """
         if self._valid_indices is None or len(self._valid_indices) == 0:
             return
         if self._valid_pipeline is None:
@@ -396,13 +404,13 @@ class ProgressiveGANTrainer:
         at the current scale, using the configured extractor (random-conv
         default, or InceptionV3 — see `_fid_extractor`).
 
-        Single-process evaluation: on multi-host runs FID is skipped (the
-        sampler would need all-process participation on the global mesh).
+        Multi-host: every process calls this (fit does). All inputs are
+        process-identical (fixed-seed latents, fixed-seed real-index
+        draws), params are replicated over the global mesh, so the jitted
+        sampler/extractor run SPMD and their fully-replicated outputs are
+        host-readable on every process — the statistics and the Fréchet
+        distance come out identical everywhere.
         """
-        if jax.process_count() > 1:
-            if self.is_master:
-                print("[pggan_tpu] compute_fid skipped on multi-host runs")
-            return float("nan")
         from pggan_tpu.metrics import fid_between_sets
 
         cfg = self.cfg

@@ -1,0 +1,103 @@
+"""Multi-host branch coverage (single-process harness).
+
+True multi-process runs aren't available here; these tests exercise the
+code paths that only fire when `process_count > 1` — the process-local
+batch assembly, the addressable-shard concat, and the all-process SPMD
+evaluation hooks — so a regression in any of those branches fails fast.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pggan_tpu import Config
+from pggan_tpu.parallel import create_mesh, shard_batch
+from pggan_tpu.parallel.mesh import local_numpy
+from pggan_tpu.registry import create_model
+
+
+class TestShardingBranches:
+    def test_local_numpy_concats_shards_in_order(self):
+        mesh = create_mesh(devices=jax.devices())
+        batch = np.arange(16 * 4 * 4 * 3, dtype=np.uint8).reshape(16, 4, 4, 3)
+        sharded = shard_batch(batch, mesh)
+        # each addressable shard is 2 rows of the batch → concat must
+        # reconstruct the original order exactly
+        assert sharded.sharding.is_fully_addressable
+        out = local_numpy(sharded)
+        np.testing.assert_array_equal(out, batch)
+
+    def test_shard_batch_process_local_path(self, monkeypatch):
+        # force the multi-host branch: make_array_from_process_local_data
+        # must produce the same global array as the device_put path
+        mesh = create_mesh(devices=jax.devices())
+        batch = np.random.RandomState(0).randint(
+            0, 255, (16, 4, 4, 3), dtype=np.uint8)
+        want = np.asarray(jax.device_get(shard_batch(batch, mesh)))
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        got = shard_batch(batch, mesh)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(jax.device_get(got)), want)
+        assert got.sharding.spec == shard_batch(batch, mesh).sharding.spec
+
+    def test_local_numpy_multihost_guard(self, monkeypatch):
+        # the shard-concat branch must behave identically when the array
+        # reports as multi-host-style sharded
+        mesh = create_mesh(devices=jax.devices())
+        batch = np.arange(8 * 2 * 2 * 3, dtype=np.float32).reshape(8, 2, 2, 3)
+        sharded = shard_batch(batch, mesh)
+        np.testing.assert_array_equal(local_numpy(sharded), batch)
+
+
+def smoke_cfg(tmp_path, **over):
+    return Config({
+        "depths": [16, 16], "latent_dim": 32, "batch_per_gpu": 1,
+        "max_step_at_scale": [6, 8],
+        "alpha_jump_start": [-1, 1], "alpha_jump_interval": [0, 1],
+        "alpha_jump_Ntimes": [0, 3],
+        "loss_cycle": 2, "test_cycle": 2, "ckpt_cycle": 100,
+        "save_root": str(tmp_path / "results"),
+        "data_backend": "synthetic", "synthetic_dataset_size": 64,
+        "num_data_workers": 1, "use_mGPU": True, **over,
+    })
+
+
+class TestAllProcessEvalHooks:
+    def test_validation_runs_on_non_master(self, tmp_path, monkeypatch):
+        # multi-host safety: validation is an SPMD eval that EVERY process
+        # must enter (a master-only call would deadlock the collective) —
+        # so a non-master trainer must still execute it, just not log
+        cfg = smoke_cfg(tmp_path, use_validation=True)
+        trainer = create_model(cfg)
+        calls = {"n": 0}
+        orig = trainer.validation
+
+        def spy(step):
+            calls["n"] += 1
+            return orig(step)
+
+        trainer.validation = spy
+        trainer.is_master = False
+        trainer.logger = None
+        try:
+            trainer.fit("nonmaster", max_step=5)
+        finally:
+            trainer.close()
+        assert calls["n"] >= 2          # test_cycle=2 → steps 0,2,4
+        import os
+        assert not os.path.exists(
+            os.path.join(cfg.save_root, "nonmaster", "metrics.jsonl"))
+
+    def test_fid_runs_on_non_master(self, tmp_path):
+        cfg = smoke_cfg(tmp_path, fid_cycle=2, fid_samples=8)
+        trainer = create_model(cfg)
+        trainer.is_master = False
+        trainer.logger = None
+        try:
+            trainer.fit("nonmaster_fid", max_step=3)
+            fid = trainer.compute_fid(num_samples=8)
+            assert np.isfinite(fid)
+        finally:
+            trainer.close()

@@ -7,4 +7,4 @@ from pggan_tpu.data.dataset import (  # noqa: F401
     split_dataset,
     build_dataset,
 )
-from pggan_tpu.data.pipeline import DataPipeline  # noqa: F401
+from pggan_tpu.data.pipeline import DataPipeline, InfiniteSampler  # noqa: F401

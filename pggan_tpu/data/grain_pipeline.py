@@ -64,7 +64,21 @@ class GrainPipeline:
         return batch
 
     def close(self):
-        self._iter = None
+        # Grain's iterator owns reader threads / prefetch buffers; release
+        # them deterministically instead of leaving them to process exit.
+        it, self._iter = self._iter, None
+        if it is not None:
+            for attr in ("close", "stop"):
+                fn = getattr(it, attr, None)
+                if callable(fn):
+                    try:
+                        fn()
+                    except Exception:
+                        pass
+                    break
+            del it
+        import gc
+        gc.collect()        # drop reader threads referenced only by `it`
 
     def __enter__(self):
         return self

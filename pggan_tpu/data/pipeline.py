@@ -27,6 +27,48 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 
+class InfiniteSampler:
+    """Endless index stream with windowed incremental shuffling — the
+    `torch_utils/misc.py:111-142` InfiniteSampler, framework-free.
+
+    Yields dataset indices forever; each yielded position is swapped with
+    a random earlier position inside a sliding window (`window_size` as a
+    fraction of the dataset), so the order keeps mixing without full
+    re-shuffles. `rank`/`num_replicas` subsample the stream round-robin
+    (the multi-replica sharding the reference sampler offers).
+    """
+
+    def __init__(self, dataset_size: int, *, rank: int = 0,
+                 num_replicas: int = 1, shuffle: bool = True, seed: int = 0,
+                 window_size: float = 0.5):
+        assert dataset_size > 0 and num_replicas > 0
+        assert 0 <= rank < num_replicas and 0 <= window_size <= 1
+        self.dataset_size = int(dataset_size)
+        self.rank = rank
+        self.num_replicas = num_replicas
+        self.shuffle = shuffle
+        self.seed = seed
+        self.window_size = window_size
+
+    def __iter__(self):
+        order = np.arange(self.dataset_size)
+        rnd = None
+        window = 0
+        if self.shuffle:
+            rnd = np.random.RandomState(self.seed)
+            rnd.shuffle(order)
+            window = int(np.rint(order.size * self.window_size))
+        idx = 0
+        while True:
+            i = idx % order.size
+            if idx % self.num_replicas == self.rank:
+                yield int(order[i])
+            if window >= 2:
+                j = (i - rnd.randint(window)) % order.size
+                order[i], order[j] = order[j], order[i]
+            idx += 1
+
+
 class DataPipeline:
     def __init__(self, dataset, batch_size: int, *,
                  indices: Optional[Sequence[int]] = None,

@@ -70,3 +70,55 @@ def trace_context(logdir: str):
     """Start an XProf trace context: `with trace_context('/tmp/xprof'): ...`
     then inspect in TensorBoard/Perfetto (`jax.profiler.trace`)."""
     return jax.profiler.trace(logdir)
+
+
+def copy_matching_leaves(src_tree, dst_tree, *, require_all: bool = False):
+    """Return dst_tree with every leaf whose pytree path also exists in
+    src_tree (same shape) replaced by the src value — the functional
+    `copy_params_and_buffers` (`misc.py:153-161`). `require_all=True`
+    asserts every dst path is present in src."""
+    src = {jax.tree_util.keystr(kp): leaf for kp, leaf
+           in jax.tree_util.tree_flatten_with_path(src_tree)[0]}
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(dst_tree)
+    out = []
+    for keypath, leaf in leaves:
+        key = jax.tree_util.keystr(keypath)
+        if key in src:
+            val = src[key]
+            if np.shape(val) != np.shape(leaf):
+                raise ValueError(f"shape mismatch at {key}: "
+                                 f"{np.shape(val)} vs {np.shape(leaf)}")
+            out.append(jnp.asarray(val, dtype=getattr(leaf, "dtype", None)))
+        elif require_all:
+            raise KeyError(f"missing source leaf for {key}")
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def print_tree_summary(params, apply_fn=None, *inputs, file=None) -> str:
+    """Parameter/summary table — the `print_module_summary` analog
+    (`misc.py:196-264`): one row per pytree leaf (path, shape, #params)
+    plus totals, and the output shape via `jax.eval_shape` when an
+    apply_fn + example inputs are given (no FLOPs executed)."""
+    import io
+    buf = io.StringIO()
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    rows = []
+    for keypath, leaf in leaves:
+        n = int(np.prod(np.shape(leaf))) if np.shape(leaf) else 1
+        total += n
+        rows.append((jax.tree_util.keystr(keypath), str(np.shape(leaf)), n))
+    width = max((len(r[0]) for r in rows), default=10)
+    print(f"{'leaf':<{width}}  {'shape':<20}  params", file=buf)
+    for name, shape, n in rows:
+        print(f"{name:<{width}}  {shape:<20}  {n}", file=buf)
+    print(f"{'TOTAL':<{width}}  {'':<20}  {total}", file=buf)
+    if apply_fn is not None:
+        out = jax.eval_shape(apply_fn, params, *inputs)
+        shapes = jax.tree.map(lambda s: tuple(s.shape), out)
+        print(f"output shape(s): {shapes}", file=buf)
+    text = buf.getvalue()
+    print(text, end="", file=file)
+    return text

@@ -71,6 +71,50 @@ class TestDebug:
         check_replication_consistency(replicate(tree, mesh))
 
 
+class TestMiscLeftovers:
+    def test_infinite_sampler_covers_and_shards(self):
+        from pggan_tpu.data import InfiniteSampler
+        import itertools
+        # unshuffled stream is exact epoch repetition
+        plain = list(itertools.islice(iter(InfiniteSampler(
+            10, shuffle=False)), 20))
+        assert plain == list(range(10)) * 2
+        # windowed shuffle (reference semantics: incremental swaps, so
+        # early repeats are possible) stays in range and eventually covers
+        s = InfiniteSampler(10, seed=1)
+        first = list(itertools.islice(iter(s), 100))
+        assert set(first) == set(range(10))
+        assert all(0 <= i < 10 for i in first)
+        # round-robin replica sharding: rank streams are disjoint per step
+        a = list(itertools.islice(iter(InfiniteSampler(
+            10, rank=0, num_replicas=2, shuffle=False)), 5))
+        b = list(itertools.islice(iter(InfiniteSampler(
+            10, rank=1, num_replicas=2, shuffle=False)), 5))
+        assert a == [0, 2, 4, 6, 8] and b == [1, 3, 5, 7, 9]
+
+    def test_copy_matching_leaves(self):
+        from pggan_tpu.utils.debug import copy_matching_leaves
+        src = {"a": jnp.ones((2, 2)), "b": {"c": jnp.full((3,), 7.0)}}
+        dst = {"a": jnp.zeros((2, 2)), "b": {"c": jnp.zeros((3,))},
+               "extra": jnp.zeros((1,))}
+        out = copy_matching_leaves(src, dst)
+        np.testing.assert_array_equal(np.asarray(out["a"]), 1.0)
+        np.testing.assert_array_equal(np.asarray(out["b"]["c"]), 7.0)
+        np.testing.assert_array_equal(np.asarray(out["extra"]), 0.0)
+        with pytest.raises(KeyError):
+            copy_matching_leaves(src, dst, require_all=True)
+
+    def test_print_tree_summary(self, capsys):
+        from pggan_tpu.utils.debug import print_tree_summary
+        from pggan_tpu.models import init_generator_params, generator_apply
+        p = init_generator_params(jax.random.PRNGKey(0), latent_dim=16,
+                                  depths=[8, 8], scale=1)
+        z = jnp.zeros((2, 16))
+        text = print_tree_summary(
+            p, lambda pp, zz: generator_apply(pp, zz, jnp.float32(0.5)), z)
+        assert "TOTAL" in text and "output shape(s): (2, 8, 8, 3)" in text
+
+
 class TestFID:
     def test_identical_distributions_near_zero(self):
         rs = np.random.RandomState(0)

@@ -119,6 +119,68 @@ def resnet18_apply(params: Dict[str, Any], x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# ResNet-50 (bottleneck) — the Deep3DMM ReconNet backbone
+# (`submodel/deep3dmm.py:380-513`: vendored torchvision ResNet with
+# Bottleneck blocks, layers [3,4,6,3])
+# ---------------------------------------------------------------------------
+
+_RESNET50_LAYERS = (3, 4, 6, 3)
+
+
+def init_resnet50(rng: jax.Array, *, input_dim: int = 3) -> Dict[str, Any]:
+    """7×7/2 stem + maxpool + 4 bottleneck stages (widths 64/128/256/512,
+    4× expansion → 2048 final channels), stride on the 3×3 conv (torch
+    Bottleneck placement)."""
+    params: Dict[str, Any] = {
+        "stem": {**_conv_init(jax.random.fold_in(rng, 0), input_dim, 64, 7),
+                 "bn": _bn_init(64)},
+        "stages": [],
+    }
+    widths = [64, 128, 256, 512]
+    c_in = 64
+    for s, (width, count) in enumerate(zip(widths, _RESNET50_LAYERS)):
+        stage = []
+        out_ch = width * 4
+        for b in range(count):
+            k = jax.random.fold_in(rng, 100 * (s + 1) + b)
+            stride = _resnet_stride(s, b)
+            block = {
+                "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, width, 1),
+                "bn1": _bn_init(width),
+                "conv2": _conv_init(jax.random.fold_in(k, 1), width, width, 3),
+                "bn2": _bn_init(width),
+                "conv3": _conv_init(jax.random.fold_in(k, 2), width, out_ch, 1),
+                "bn3": _bn_init(out_ch),
+            }
+            if stride != 1 or c_in != out_ch:
+                block["down"] = _conv_init(jax.random.fold_in(k, 3), c_in, out_ch, 1)
+                block["down_bn"] = _bn_init(out_ch)
+            stage.append(block)
+            c_in = out_ch
+        params["stages"].append(stage)
+    return params
+
+
+def resnet50_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Returns the final feature map [B, H/32, W/32, 2048]."""
+    y = _conv(params["stem"], x, stride=2)
+    y = jax.nn.relu(_bn(params["stem"]["bn"], y))
+    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), "SAME")
+    for s, stage in enumerate(params["stages"]):
+        for b, block in enumerate(stage):
+            stride = _resnet_stride(s, b)
+            h = jax.nn.relu(_bn(block["bn1"], _conv(block["conv1"], y)))
+            h = jax.nn.relu(_bn(block["bn2"], _conv(block["conv2"], h, stride)))
+            h = _bn(block["bn3"], _conv(block["conv3"], h))
+            skip = y
+            if "down" in block:
+                skip = _bn(block["down_bn"], _conv(block["down"], y, stride))
+            y = jax.nn.relu(h + skip)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # IR-SE (ArcFace) embedder
 # ---------------------------------------------------------------------------
 

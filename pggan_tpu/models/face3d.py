@@ -8,9 +8,10 @@ Structural parity (◐, PARITY.md) with the reference's two halves:
     normals, spherical-harmonics shading (`SH`, `deep3dmm.py:643+`),
     Euler-angle rotation, camera/image projection, landmark extraction,
     `split_coeff` of the 257-dim regression vector.
-  * `ReconNet` (`deep3dmm.py:509-539`): a conv backbone regressing the
-    257 coefficients from a face crop (ResNet-50 in the reference; the
-    shared ResNet-18 backbone here — weights npz-loadable either way).
+  * `ReconNet` (`deep3dmm.py:509-539`): a ResNet-50 (Bottleneck
+    [3,4,6,3]) backbone + global pool + seven zero-initialized
+    per-coefficient heads, matching the reference's use_last_fc=False
+    configuration — weights npz-loadable by pytree path.
 
 The reference requires BFM2009 .mat asset files it does not ship
 (`transferBFM09`, `deep3dmm.py:562`); here the basis tensors are
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pggan_tpu.models.backbones import init_resnet18, resnet18_apply
+from pggan_tpu.models.backbones import init_resnet50, resnet50_apply
 
 # 257-dim coefficient layout (deep3dmm.py:240-261)
 _COEFF_SPLIT = {
@@ -158,19 +159,29 @@ class ParametricFaceModel:
                 "landmarks": self.get_landmarks(proj), "color": color}
 
 
+# Per-coefficient head widths (`deep3dmm.py:517-525`): id 80, exp 64,
+# tex 80, angle 3, gamma 27, (tx,ty) 2, tz 1 — zero-initialized 1×1 convs
+# on the pooled 2048-d ResNet-50 feature.
+_RECONNET_HEADS = (80, 64, 80, 3, 27, 2, 1)
+
+
 def init_reconnet(rng: jax.Array, *, coeff_dim: int = 257) -> Dict[str, Any]:
-    """Coefficient regressor (`ReconNet`, `deep3dmm.py:509-539`): conv
-    backbone + global pool + linear head → 257 coefficients."""
-    head_key = jax.random.fold_in(rng, 99)
-    w = jax.random.normal(head_key, (512, coeff_dim)) * math.sqrt(1.0 / 512)
+    """Coefficient regressor (`ReconNet`, `deep3dmm.py:509-539`): a
+    ResNet-50 (Bottleneck [3,4,6,3]) backbone + global average pool +
+    SEVEN zero-initialized per-coefficient heads whose outputs concatenate
+    to the 257-vector (the reference's use_last_fc=False configuration)."""
+    assert coeff_dim == sum(_RECONNET_HEADS)
     return {
-        "backbone": init_resnet18(jax.random.fold_in(rng, 0)),
-        "head": {"w": w, "b": jnp.zeros((coeff_dim,))},
+        "backbone": init_resnet50(jax.random.fold_in(rng, 0)),
+        "heads": [{"w": jnp.zeros((2048, d)), "b": jnp.zeros((d,))}
+                  for d in _RECONNET_HEADS],
     }
 
 
 def reconnet_apply(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    """NHWC face crop → [B, 257] coefficients."""
-    feat = resnet18_apply(params["backbone"], x)
-    feat = jnp.mean(feat, axis=(1, 2))
-    return feat @ params["head"]["w"] + params["head"]["b"]
+    """NHWC face crop → [B, 257] coefficients (id|exp|tex|angle|gamma|
+    tx,ty|tz concat order, `deep3dmm.py:531-538`)."""
+    feat = resnet50_apply(params["backbone"], x)
+    feat = jnp.mean(feat, axis=(1, 2))           # adaptive avg pool → 2048
+    outs = [feat @ h["w"] + h["b"] for h in params["heads"]]
+    return jnp.concatenate(outs, axis=-1)

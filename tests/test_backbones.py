@@ -31,6 +31,29 @@ class TestResNet18:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestResNet50:
+    def test_structure_and_shapes(self):
+        from pggan_tpu.models.backbones import init_resnet50, resnet50_apply
+        p = init_resnet50(jax.random.PRNGKey(0))
+        assert [len(s) for s in p["stages"]] == [3, 4, 6, 3]
+        # bottleneck expansion: final conv3 of stage s emits 4*width
+        assert p["stages"][3][0]["conv3"]["w"].shape[-1] == 2048
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+        out = resnet50_apply(p, x)
+        assert out.shape == (2, 2, 2, 2048)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_reconnet_heads_zero_init(self):
+        # reference zero-inits the per-coefficient heads (deep3dmm.py:526-528)
+        # → a fresh regressor must output exactly zero coefficients
+        from pggan_tpu.models.face3d import init_reconnet, reconnet_apply
+        p = init_reconnet(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 32, 32, 3), jnp.float32)
+        out = reconnet_apply(p, x)
+        assert out.shape == (1, 257)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
 class TestBiSeNet:
     def test_output_shape(self):
         from pggan_tpu.models.faceparser import init_bisenet, bisenet_apply

@@ -14,9 +14,12 @@ Structural parity (◐, PARITY.md) with the reference's two halves:
     configuration — weights npz-loadable by pytree path.
 
 The reference requires BFM2009 .mat asset files it does not ship
-(`transferBFM09`, `deep3dmm.py:562`); here the basis tensors are
-constructor arguments (loadable from npz) with small fixed-seed synthetic
-defaults so the math is testable end-to-end without proprietary data.
+(`transferBFM09`, `deep3dmm.py:562`); here the basis tensors AND the mesh
+topology (face_buf/point_buf) are constructor arguments (loadable from
+npz) with small fixed-seed synthetic defaults so the math is testable
+end-to-end without proprietary data. With topology supplied, vertex
+normals are the reference's exact gather-based algorithm; without it, a
+documented pseudo-normal fallback.
 """
 
 from __future__ import annotations
@@ -42,7 +45,34 @@ def split_coeff(coeffs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {k: coeffs[:, a:b] for k, (a, b) in _COEFF_SPLIT.items()}
 
 
+def build_point_buf(face_buf: np.ndarray, n_vertices: int) -> np.ndarray:
+    """Vertex→adjacent-face table [V, K] from triangles [F, 3] (host-side,
+    numpy). Rows are padded with the sentinel F, which indexes the zero
+    row `compute_norm` appends — the 0-indexed equivalent of the BFM
+    `point_buf` the reference loads pre-built (`deep3dmm.py:46-47`)."""
+    face_buf = np.asarray(face_buf)
+    nf = face_buf.shape[0]
+    adj = [[] for _ in range(n_vertices)]
+    for f, tri in enumerate(face_buf):
+        for vtx in tri:
+            adj[int(vtx)].append(f)
+    k = max(1, max(len(a) for a in adj))
+    out = np.full((n_vertices, k), nf, dtype=np.int32)
+    for vtx, faces in enumerate(adj):
+        out[vtx, :len(faces)] = faces
+    return out
+
+
 class ParametricFaceModel:
+    """Linear 3DMM. `bases` may additionally carry the mesh topology —
+    `face_buf` [F,3] int triangle indices and `point_buf` [V,K] int
+    vertex→adjacent-face table (entries in [0,F]; F selects the zero
+    padding row), the 0-indexed form of the reference's BFM buffers
+    (`deep3dmm.py:46-50`, where the 1-indexed .mat arrays get `-1`).
+    With topology present, `compute_norm` runs the reference's exact
+    algorithm (`deep3dmm.py:110-130`); without it, a documented
+    pseudo-normal stand-in."""
+
     def __init__(self, *, n_vertices: int = 1024, n_landmarks: int = 68,
                  bases: Optional[Dict[str, np.ndarray]] = None,
                  focal: float = 1015.0, center: float = 112.0,
@@ -60,6 +90,12 @@ class ParametricFaceModel:
                 "landmark_index": rs.choice(v, n_landmarks, replace=False
                                             ).astype(np.int32),
             }
+        bases = dict(bases)
+        self.face_buf = bases.pop("face_buf", None)
+        self.point_buf = bases.pop("point_buf", None)
+        if self.face_buf is not None:
+            self.face_buf = jnp.asarray(self.face_buf, jnp.int32)
+            self.point_buf = jnp.asarray(self.point_buf, jnp.int32)
         self.b = {k: jnp.asarray(val) for k, val in bases.items()}
         self.n_vertices = v
         self.focal, self.center = focal, center
@@ -112,13 +148,35 @@ class ParametricFaceModel:
         """[B, V, 2] → [B, 68, 2] (`deep3dmm.py:230-238`)."""
         return proj[:, self.b["landmark_index"]]
 
-    @staticmethod
-    def compute_norm(shape_like):
-        """Unit vertex pseudo-normals. The reference derives them from the
-        BFM face topology (`deep3dmm.py:110-130`); without the mesh the
-        normalized vertex direction is the structural stand-in."""
-        return shape_like * jax.lax.rsqrt(
-            jnp.sum(shape_like ** 2, -1, keepdims=True) + 1e-8)
+    def compute_norm(self, shape):
+        """Unit vertex normals [B, V, 3].
+
+        With mesh topology (face_buf/point_buf in `bases`), the
+        reference's exact algorithm (`deep3dmm.py:110-130`) — all
+        gathers, no scatters, so it maps cleanly onto TPU:
+        per-face normals cross(v1-v2, v2-v3) L2-normalized, a zero row
+        appended at index F, adjacent face normals gathered per vertex
+        via point_buf and summed, then L2-normalized (torch
+        F.normalize semantics: x / max(|x|, 1e-12)).
+
+        Without topology: the normalized vertex direction, a documented
+        structural stand-in."""
+        if self.face_buf is None:
+            return shape * jax.lax.rsqrt(
+                jnp.sum(shape ** 2, -1, keepdims=True) + 1e-8)
+
+        def _normalize(x):
+            n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return x / jnp.maximum(n, 1e-12)
+
+        v1 = shape[:, self.face_buf[:, 0]]
+        v2 = shape[:, self.face_buf[:, 1]]
+        v3 = shape[:, self.face_buf[:, 2]]
+        face_norm = _normalize(jnp.cross(v1 - v2, v2 - v3))   # [B, F, 3]
+        face_norm = jnp.concatenate(
+            [face_norm, jnp.zeros_like(face_norm[:, :1])], axis=1)
+        vertex_norm = jnp.sum(face_norm[:, self.point_buf], axis=2)
+        return _normalize(vertex_norm)
 
     @staticmethod
     def compute_color(texture, norm, gamma):

@@ -113,6 +113,77 @@ class TestFace3D:
         assert sizes == {"id": 80, "exp": 64, "tex": 80, "angle": 3,
                          "gamma": 27, "trans": 3}
 
+    def test_mesh_vertex_normals_octahedron(self):
+        """With topology, compute_norm is the reference algorithm
+        (`deep3dmm.py:110-130`): octahedron vertex normals must point
+        radially outward (each vertex's 4 adjacent unit face normals
+        average to the vertex direction by symmetry)."""
+        from pggan_tpu.models.face3d import (ParametricFaceModel,
+                                             build_point_buf)
+        verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                          [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32)
+        # Outward-wound triangles of the octahedron.
+        tris = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+                        np.int32)
+        pb = build_point_buf(tris, 6)
+        assert pb.shape == (6, 4) and np.all(pb < 8)    # no padding needed
+        m = ParametricFaceModel(
+            n_vertices=6,
+            bases={"mean_shape": verts.ravel(),
+                   "id_base": np.zeros((18, 80), np.float32),
+                   "exp_base": np.zeros((18, 64), np.float32),
+                   "mean_tex": np.full(18, 128.0, np.float32),
+                   "tex_base": np.zeros((18, 80), np.float32),
+                   "landmark_index": np.arange(6, dtype=np.int32),
+                   "face_buf": tris, "point_buf": pb})
+        shape = jnp.asarray(verts)[None]
+        # Reference winding: cross(v1-v2, v2-v3) on outward triangles
+        # gives inward-facing normals for this vertex order convention;
+        # verify against an independent numpy evaluation instead of
+        # assuming a sign.
+        got = np.asarray(m.compute_norm(shape))[0]
+        v1, v2, v3 = (verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]])
+        fn = np.cross(v1 - v2, v2 - v3)
+        fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+        fn = np.concatenate([fn, np.zeros((1, 3), np.float32)])
+        vn = fn[pb].sum(1)
+        vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+        np.testing.assert_allclose(got, vn, atol=1e-6)
+        # and by octahedral symmetry they are (anti)radial unit vectors
+        np.testing.assert_allclose(np.abs(np.sum(got * verts, -1)),
+                                   np.ones(6), atol=1e-6)
+
+    def test_point_buf_padding_row_is_inert(self):
+        """Vertices with fewer adjacent faces gather the appended zero
+        row (sentinel F) — parity with the BFM padding convention
+        (`deep3dmm.py:46-47,122-128`)."""
+        from pggan_tpu.models.face3d import (ParametricFaceModel,
+                                             build_point_buf)
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]],
+                         np.float32)
+        tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        pb = build_point_buf(tris, 4)
+        assert pb.shape == (4, 2)
+        assert pb[0, 1] == 2 and pb[3, 1] == 2          # sentinel = F
+        m = ParametricFaceModel(
+            n_vertices=4,
+            bases={"mean_shape": verts.ravel(),
+                   "id_base": np.zeros((12, 80), np.float32),
+                   "exp_base": np.zeros((12, 64), np.float32),
+                   "mean_tex": np.full(12, 128.0, np.float32),
+                   "tex_base": np.zeros((12, 80), np.float32),
+                   "landmark_index": np.arange(4, dtype=np.int32),
+                   "face_buf": tris, "point_buf": pb})
+        got = np.asarray(m.compute_norm(jnp.asarray(verts)[None]))[0]
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(np.linalg.norm(got, axis=-1),
+                                   np.ones(4), atol=1e-6)
+        # Vertex 0 sits on one face only: its normal IS that face normal.
+        fn = np.cross(verts[0] - verts[1], verts[1] - verts[2])
+        fn /= np.linalg.norm(fn)
+        np.testing.assert_allclose(got[0], fn, atol=1e-6)
+
     def test_rotation_is_orthonormal(self):
         from pggan_tpu.models.face3d import ParametricFaceModel
         m = ParametricFaceModel(n_vertices=8)

@@ -55,6 +55,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--export", default=None, metavar="PATH",
+                        help="also write a self-contained StableHLO serving "
+                             "artifact (jax.export) of the loaded generator")
     ns = parser.parse_args(argv)
 
     cfg = Config({"ckpt_id": ns.ckpt_id, "ckpt_step": ns.ckpt_step,
@@ -68,6 +71,16 @@ def main(argv=None):
     out_dir = ns.output_dir or os.path.join(
         ns.save_root, ns.ckpt_id, "samples")
     os.makedirs(out_dir, exist_ok=True)
+
+    if ns.export:
+        from pggan_tpu.export import export_generator
+        export_generator(
+            params, latent_dim=int(args.latent_dim), alpha=alpha,
+            path=ns.export, slope=float(args.LReLU_slope),
+            apply_pixel_norm=bool(args.apply_pixel_norm),
+            last_activation=args.generator_last_activation)
+        print(f"wrote serving artifact (scale {scale}, alpha {alpha}) "
+              f"to {ns.export}")
 
     sample = jax.jit(lambda p, z: generator_apply(
         p, z, jnp.float32(alpha), slope=float(args.LReLU_slope),

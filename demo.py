@@ -20,16 +20,20 @@ import numpy as np
 from pggan_tpu.config import Config
 
 
-def load_generator(cfg):
-    """Rebuild G at the checkpointed scale and strictly load weights."""
+def load_generator(cfg, *, ema: bool = False):
+    """Rebuild G at the checkpointed scale and strictly load weights.
+    `ema=True` loads the smoothed weights (`Gema`, written when training
+    ran with g_ema_decay > 0) — the PGGAN paper's eval convention."""
     import jax
     from pggan_tpu.models import init_generator_params
     from pggan_tpu.utils import checkpoint as ckpt_lib
 
-    result = ckpt_lib.load_checkpoint(cfg.save_root, cfg.ckpt_id, "G", cfg.ckpt_step)
+    name = "Gema" if ema else "G"
+    result = ckpt_lib.load_checkpoint(cfg.save_root, cfg.ckpt_id, name, cfg.ckpt_step)
     if result is None:
         raise FileNotFoundError(
-            f"no G checkpoint for ckpt_id={cfg.ckpt_id!r} step={cfg.ckpt_step!r}")
+            f"no {name} checkpoint for ckpt_id={cfg.ckpt_id!r} "
+            f"step={cfg.ckpt_step!r}")
     arrays, _opt, meta = result
     args = Config(meta.get("args", {}))
     scale = int(meta["schedule"]["scale_index"])
@@ -58,6 +62,9 @@ def main(argv=None):
     parser.add_argument("--export", default=None, metavar="PATH",
                         help="also write a self-contained StableHLO serving "
                              "artifact (jax.export) of the loaded generator")
+    parser.add_argument("--ema", action="store_true",
+                        help="sample from the smoothed generator (Gema "
+                             "checkpoint; requires g_ema_decay > 0 training)")
     ns = parser.parse_args(argv)
 
     cfg = Config({"ckpt_id": ns.ckpt_id, "ckpt_step": ns.ckpt_step,
@@ -67,7 +74,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from pggan_tpu.models import generator_apply
 
-    params, args, scale, alpha = load_generator(cfg)
+    params, args, scale, alpha = load_generator(cfg, ema=ns.ema)
     out_dir = ns.output_dir or os.path.join(
         ns.save_root, ns.ckpt_id, "samples")
     os.makedirs(out_dir, exist_ok=True)

@@ -116,6 +116,12 @@ _DEFAULTS: Dict[str, Any] = {
     # comparable to published FID numbers)
     "fid_extractor": "random_conv",
     "fid_weights": None,
+    # G weight smoothing (PGGAN paper §A.1): exponential moving average
+    # of generator weights, maintained inside the fused train step and
+    # used for FID eval + saved as the `Gema` checkpoint (demo.py --ema).
+    # 0.0 = off = reference parity (the reference omits EMA); the paper
+    # uses 0.999.
+    "g_ema_decay": 0.0,
 }
 
 

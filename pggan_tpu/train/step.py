@@ -50,6 +50,11 @@ class TrainState(NamedTuple):
     opt_state_G: Any
     opt_state_D: Any
     rng: jax.Array
+    # Exponential moving average of params_G (the PGGAN paper's G
+    # smoothing for eval — Karras et al. 2018 §A.1; the reference omits
+    # it). None (an EMPTY pytree node, zero leaves) when disabled, so
+    # pre-existing checkpoints and programs are structurally unchanged.
+    params_G_ema: Any = None
 
 
 def make_optimizers(cfg) -> Tuple[optax.GradientTransformation,
@@ -65,13 +70,20 @@ def make_optimizers(cfg) -> Tuple[optax.GradientTransformation,
 
 def init_train_state(rng: jax.Array, params_G, params_D,
                      opt_g: optax.GradientTransformation,
-                     opt_d: optax.GradientTransformation) -> TrainState:
+                     opt_d: optax.GradientTransformation,
+                     params_G_ema=None, *, ema: bool = False) -> TrainState:
+    """`ema=True` seeds params_G_ema as a COPY of params_G (fresh buffers —
+    aliased leaves would be double-donated under donate_argnums);
+    `params_G_ema` passes through an existing average (scale jumps)."""
+    if ema and params_G_ema is None:
+        params_G_ema = jax.tree.map(jnp.copy, params_G)
     return TrainState(
         params_G=params_G,
         params_D=params_D,
         opt_state_G=opt_g.init(params_G),
         opt_state_D=opt_d.init(params_D),
         rng=rng,
+        params_G_ema=params_G_ema,
     )
 
 
@@ -131,6 +143,8 @@ def make_train_step(cfg, scale_index: int,
     # scale (≤ 1024², batch ≤ 8) fits without remat and runs 15-30% faster
     # (see config.py); only beyond-table scales rematerialize by default.
     remat = (remat_cfg is True) or (remat_cfg == "auto" and scale_index >= 9)
+    # G weight smoothing (PGGAN paper §A.1; 0.0 = off = reference parity).
+    ema_decay = float(cfg["g_ema_decay"]) if "g_ema_decay" in cfg else 0.0
 
     def g_apply(params, z, alpha):
         return generator_apply(
@@ -249,7 +263,14 @@ def make_train_step(cfg, scale_index: int,
 
         metrics = dict(metrics_d)
         metrics["L_G"] = loss_g
-        new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D, rng)
+        if ema_decay > 0.0 and state.params_G_ema is not None:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                state.params_G_ema, params_G)
+        else:
+            ema = state.params_G_ema
+        new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D,
+                               rng, ema)
         images = (img_real, img_fake2.astype(jnp.float32))
         return new_state, metrics, images
 

@@ -132,13 +132,21 @@ class ProgressiveGANTrainer:
         params_G, params_D = _init(self._rng_G, self._rng_D)
         self._fresh_state(params_G, params_D, self._rng_state)
 
-    def _fresh_state(self, params_G, params_D, rng):
+    @property
+    def _ema_enabled(self) -> bool:
+        """G weight smoothing (PGGAN paper §A.1) — `g_ema_decay` > 0.
+        Off by default: the reference has no EMA (parity)."""
+        return ("g_ema_decay" in self.cfg
+                and float(self.cfg["g_ema_decay"]) > 0.0)
+
+    def _fresh_state(self, params_G, params_D, rng, params_G_ema=None):
         # NOTE: rng must be threaded explicitly — with donate_buffers the
         # step invalidates every array in the previous TrainState, so any
         # buffer captured at __init__ is dead after the first step.
         self.opt_g, self.opt_d = make_optimizers(self.cfg)
         state = init_train_state(jax.numpy.asarray(rng), params_G, params_D,
-                                 self.opt_g, self.opt_d)
+                                 self.opt_g, self.opt_d, params_G_ema,
+                                 ema=self._ema_enabled)
         self.state = replicate(state, self.mesh)
         self._fid_sampler = None        # new pytree structure → new program
         self._eval_ds = None
@@ -150,7 +158,7 @@ class ProgressiveGANTrainer:
         if self.state is None:
             return
         self._fresh_state(self.state.params_G, self.state.params_D,
-                          self.state.rng)
+                          self.state.rng, self.state.params_G_ema)
 
     def set_dataset(self):
         """Dataset at the current scale's resolution + 70/30 split
@@ -214,7 +222,16 @@ class ProgressiveGANTrainer:
             self.state.params_D, self._rng_D, depths=cfg.depths,
             input_dim=cfg.input_dim, equalized_lr=cfg.equalized_lr,
             init_bias_to_zero=cfg.init_bias_to_zero)
-        self._fresh_state(params_G, params_D, self.state.rng)
+        params_G_ema = None
+        if self.state.params_G_ema is not None:
+            # Same deterministic rng folding as params_G's growth: the new
+            # block starts IDENTICAL in both trees (average == value for a
+            # brand-new block), old leaves keep their running average.
+            params_G_ema = grow_generator_params(
+                self.state.params_G_ema, self._rng_G, depths=cfg.depths,
+                output_dim=cfg.output_dim, equalized_lr=cfg.equalized_lr,
+                init_bias_to_zero=cfg.init_bias_to_zero)
+        self._fresh_state(params_G, params_D, self.state.rng, params_G_ema)
         self.set_dataset()
         self.set_data_iterator()
         self._build_step_fn()
@@ -416,7 +433,11 @@ class ProgressiveGANTrainer:
         cfg = self.cfg
         n = int(num_samples or cfg.fid_samples)
         batch = max(8, min(64, self.local_batch_size, n))
-        params_G = self.state.params_G
+        # Evaluate the SMOOTHED generator when EMA is on (the PGGAN
+        # paper's eval convention); the raw training G otherwise.
+        params_G = (self.state.params_G_ema
+                    if self.state.params_G_ema is not None
+                    else self.state.params_G)
         alpha = jnp.float32(self.schedule.alpha)
 
         if self._fid_sampler is None:      # cached per scale (_fresh_state resets)
@@ -491,16 +512,21 @@ class ProgressiveGANTrainer:
         snapshot = jax.tree.map(
             lambda x: jnp.copy(x),
             ((self.state.params_G, self.state.opt_state_G),
-             (self.state.params_D, self.state.opt_state_D)))
+             (self.state.params_D, self.state.opt_state_D),
+             self.state.params_G_ema))
         if not self.is_master:
             return
 
         def _write():
-            (p_g, o_g), (p_d, o_d) = snapshot
+            (p_g, o_g), (p_d, o_d), p_ema = snapshot
             for name, params, opt_state in (("G", p_g, o_g), ("D", p_d, o_d)):
                 ckpt_lib.save_checkpoint(
                     self.cfg.save_root, self.cfg.run_id, name, global_step,
                     params=params, opt_state=opt_state, meta=meta)
+            if p_ema is not None:      # smoothed-G eval weights (params only)
+                ckpt_lib.save_checkpoint(
+                    self.cfg.save_root, self.cfg.run_id, "Gema", global_step,
+                    params=p_ema, meta=meta)
 
         if self._ckpt_future is not None:
             self._ckpt_future.result()      # serialize saves, surface errors
@@ -525,8 +551,13 @@ class ProgressiveGANTrainer:
             loaded[name] = result
 
     # args restore, preserving run-local keys (`lib/model_loader.py:26-31`)
+    # plus the resume target itself: the snapshotted args carry the
+    # ORIGINAL run's ckpt_id/ckpt_step (usually null), and letting them
+    # clobber this run's would break any post-update load (the Gema read
+    # below) and make load_checkpoint non-idempotent.
         meta = loaded["G"][2]
-        preserved = {k: cfg[k] for k in ("run_id", "dataset_root_list")
+        preserved = {k: cfg[k] for k in ("run_id", "dataset_root_list",
+                                         "ckpt_id", "ckpt_step")
                      if k in cfg}
         cfg.update(meta.get("args", {}))
         for k, v in preserved.items():
@@ -549,8 +580,17 @@ class ProgressiveGANTrainer:
         rng = template_state.rng
         if "rng" in meta:       # exact-resume RNG stream (older ckpts lack it)
             rng = jnp.asarray(np.asarray(meta["rng"], dtype=np.uint32))
+        params_G_ema = None
+        if self._ema_enabled:
+            ema_loaded = ckpt_lib.load_checkpoint(
+                cfg.save_root, cfg.ckpt_id, "Gema", cfg.ckpt_step)
+            if ema_loaded is not None:
+                params_G_ema = ckpt_lib.arrays_to_tree(params_G,
+                                                       ema_loaded[0])
+            else:               # EMA turned on mid-run: seed from params
+                params_G_ema = jax.tree.map(jnp.copy, params_G)
         self.state = replicate(
-            TrainState(params_G, params_D, opt_G, opt_D, rng),
+            TrainState(params_G, params_D, opt_G, opt_D, rng, params_G_ema),
             self.mesh)
         if self.is_master:
             print(f"checkpoint {cfg.ckpt_id}@{meta['global_step']} restored "

@@ -26,6 +26,14 @@ def enable_compilation_cache(cache_dir: str | None = None):
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERYTHING, including sub-second programs: in this
+        # environment every compile (CPU included) round-trips a remote
+        # compile service whose latency is minutes when congested, so a
+        # "trivial" uncached program can stall a process far longer than
+        # any local compile would. Disk is cheap; the round trip is not.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Make child processes (tests spawn train.py; the trainer spawns
+        # nothing, but bench A/B runs are separate processes) share it.
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     except Exception as exc:       # cache is an optimization, never fatal
         print(f"[pggan_tpu] compilation cache disabled ({exc})")

@@ -23,6 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache for the whole suite (and for train.py
+# subprocesses, which inherit JAX_COMPILATION_CACHE_DIR): compiles in this
+# environment round-trip a remote compile service — minutes of latency for
+# a cold program under load — so repeat runs must be cache-warm.
+from pggan_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU; got " + jax.default_backend())
 assert jax.device_count() == 8, (

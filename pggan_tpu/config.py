@@ -86,6 +86,11 @@ _DEFAULTS: Dict[str, Any] = {
     "synthetic_dataset_size": 4096,
     "num_data_workers": 8,
     "prefetch_depth": 2,
+    # decode-once-per-scale cache of resized uint8 images; 'auto' enables
+    # it whenever n_images * res^2 * 3 fits the budget below (decode is
+    # the dominant host cost; per-draw flip/jitter stays per-sample)
+    "cache_decoded": "auto",          # 'auto' | True | False
+    "decode_cache_mb": 8192,
     # per-scale batch override: dict {scale_index: global_batch}; None → use
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -75,12 +76,25 @@ class ImageFolderDataset:
     Decode/resize/augment runs in the native C++ loader when available
     (libjpeg/libpng + antialiased resampling, GIL released — see
     `pggan_tpu/native/`); `use_native=False` forces the PIL path.
+
+    Decode cache (`cache_decoded`): source decode + per-scale resize is by
+    far the dominant host cost (a 1024² PNG decodes in ~50 ms; the whole
+    per-draw flip+jitter at training resolution is microseconds), and the
+    progressive schedule revisits every image hundreds of times per scale.
+    When the resized-at-scale dataset fits `decode_cache_mb`, each image is
+    decoded ONCE per scale and per-draw augmentation runs over the cached
+    uint8 array. Semantics note: the cache quantizes to uint8 between
+    resize and jitter — exactly where the reference's PIL pipeline
+    quantizes (Resize yields a uint8 image before ColorJitter,
+    `lib/dataset.py:103-108`); the uncached native path keeps float through
+    the jitter (≤1 LSB difference).
     """
 
     def __init__(self, dataset_root_list: Sequence[str], scale_index: int = 0,
                  *, is_master: bool = False, augment: bool = True,
                  paths: Optional[Sequence[str]] = None,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 cache_decoded="auto", decode_cache_mb: int = 8192):
         self.paths = list(paths) if paths is not None else list_image_paths(dataset_root_list)
         if not self.paths:
             raise FileNotFoundError(
@@ -99,29 +113,68 @@ class ImageFolderDataset:
             except Exception:
                 if use_native:
                     raise
+        cache_bytes = len(self.paths) * self.resolution ** 2 * 3
+        if cache_decoded == "auto" or cache_decoded is None:
+            cache = cache_bytes <= int(decode_cache_mb) * (1 << 20)
+        else:
+            cache = bool(cache_decoded)
+        self._cache: Optional[dict] = {} if cache else None
+        self._cache_lock = threading.Lock()
         if is_master:
             backend = "native" if self._native is not None else "PIL"
+            cached = (f", decode cache {cache_bytes / 1e6:.1f} MB"
+                      if cache else "")
             print(f"Dataset of {len(self)} images constructed for the "
-                  f"training ({backend} loader).")
+                  f"training ({backend} loader{cached}).")
 
     def __len__(self) -> int:
         return len(self.paths)
 
+    def _resize_uncached(self, path: str) -> np.ndarray:
+        """Decode + resize to training resolution (no augmentation)."""
+        if self._native is not None:
+            try:
+                return self._native.resize(path)
+            except IOError:
+                self._warn_fallback(path)
+        img = Image.open(path).convert("RGB")
+        # torchvision Resize((s, s)) default interpolation is bilinear.
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+    def _warn_fallback(self, path: str):
+        # libjpeg/libpng rejects some variants PIL handles (CMYK JPEGs,
+        # exotic PNGs) — per-image PIL fallback instead of killing the
+        # pipeline mid-run
+        if not getattr(self, "_warned_fallback", False):
+            self._warned_fallback = True
+            print(f"[pggan_tpu.data] native decode failed for "
+                  f"{path!r}; using PIL for such images")
+
     def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
         path = self.paths[index % len(self.paths)]
+        if self._cache is not None:
+            arr = self._cache.get(path)
+            if arr is None:
+                arr = self._resize_uncached(path)
+                with self._cache_lock:       # racing first draws both
+                    arr = self._cache.setdefault(path, arr)  # decode; 1 wins
+            if not self.augment:
+                return arr
+            if self._native is not None:
+                return self._native.augment_cached(
+                    arr, rng if self.augment else None)
+            img = Image.fromarray(arr)
+            if rng.rand() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            img = _apply_color_jitter(img, rng)
+            return np.asarray(img, dtype=np.uint8)
         if self._native is not None:
             try:
                 return self._native.load(path, rng if self.augment else None)
             except IOError:
-                # libjpeg/libpng rejects some variants PIL handles (CMYK
-                # JPEGs, exotic PNGs) — per-image PIL fallback instead of
-                # killing the pipeline mid-run
-                if not getattr(self, "_warned_fallback", False):
-                    self._warned_fallback = True
-                    print(f"[pggan_tpu.data] native decode failed for "
-                          f"{path!r}; using PIL for such images")
+                self._warn_fallback(path)
         img = Image.open(path).convert("RGB")
-        # torchvision Resize((s, s)) default interpolation is bilinear.
         img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
         if self.augment:
             if rng.rand() < 0.5:
@@ -242,7 +295,12 @@ def build_dataset(cfg, scale_index: int, *, is_master: bool = False):
     if backend == "auto":
         backend = "folder" if any(os.path.isdir(r) for r in roots) else "synthetic"
     if backend == "folder":
-        return ImageFolderDataset(roots, scale_index, is_master=is_master)
+        return ImageFolderDataset(
+            roots, scale_index, is_master=is_master,
+            cache_decoded=(cfg["cache_decoded"]
+                           if "cache_decoded" in cfg else "auto"),
+            decode_cache_mb=(int(cfg["decode_cache_mb"])
+                             if "decode_cache_mb" in cfg else 8192))
     if backend == "synthetic":
         return SyntheticDataset(int(cfg.synthetic_dataset_size), scale_index)
     raise ValueError(f"unknown data backend {backend!r}")

@@ -110,14 +110,16 @@ class DataPipeline:
                     sel = np.concatenate([sel, order[:self.batch_size - len(sel)]])
                 idxs = self.indices[sel]
                 seeds = rng_master.randint(0, 2**31 - 1, size=len(idxs))
-                futures = [
-                    self._pool.submit(self.dataset.get, int(i),
-                                      np.random.RandomState(int(s)))
-                    for i, s in zip(idxs, seeds)
-                ]
                 try:
+                    futures = [
+                        self._pool.submit(self.dataset.get, int(i),
+                                          np.random.RandomState(int(s)))
+                        for i, s in zip(idxs, seeds)
+                    ]
                     batch = np.stack([f.result() for f in futures])
                 except Exception as exc:
+                    if self._stop.is_set():   # close() shut the pool down
+                        return                # mid-batch — a clean exit
                     self._enqueue(exc)
                     return
                 if self.shard_fn is not None:

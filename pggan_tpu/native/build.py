@@ -62,6 +62,15 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.pggan_resize_image.restype = ctypes.c_int
+    lib.pggan_resize_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.pggan_augment_image.restype = ctypes.c_int
+    lib.pggan_augment_image.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.pggan_probe_image.restype = ctypes.c_int
     lib.pggan_probe_image.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),

@@ -297,27 +297,10 @@ void adjust_hue(std::vector<float>& img, float shift /* in turns, [-0.5,0.5] */)
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode + antialiased resize + augment one image.
-//   path       : image file (JPEG or PNG)
-//   size       : output side length (square)
-//   flip       : 1 → horizontal flip
-//   factors[4] : brightness, contrast, saturation (multipliers),
-//                hue (turns); order[4]: op application order, entries 0-3
-//                (torchvision permutes op order per sample); factor < 0
-//                disables that op
-//   out        : caller buffer, size*size*3 uint8 (HWC RGB)
-// Returns 0 on success, non-zero error code otherwise.
-int pggan_load_image(const char* path, int size, int flip,
-                     const float* factors, const int* order, uint8_t* out) {
-  Image img;
-  if (!decode_file(path, &img)) return 1;
-  std::vector<float> buf;
-  resize_rgb(img, size, &buf);
-
+// Flip + color jitter on a float HWC buffer, then round once to uint8.
+// Shared by the decode path and the decode-cache augment path.
+void augment_and_store(std::vector<float>& buf, int size, int flip,
+                       const float* factors, const int* order, uint8_t* out) {
   if (flip) {
     for (int y = 0; y < size; ++y) {
       float* row = buf.data() + size_t(y) * size * 3;
@@ -343,6 +326,60 @@ int pggan_load_image(const char* path, int size, int flip,
   const size_t total = size_t(size) * size * 3;
   for (size_t i = 0; i < total; ++i)
     out[i] = uint8_t(clampf(std::lround(buf[i]), 0.f, 255.f));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + antialiased resize + augment one image.
+//   path       : image file (JPEG or PNG)
+//   size       : output side length (square)
+//   flip       : 1 → horizontal flip
+//   factors[4] : brightness, contrast, saturation (multipliers),
+//                hue (turns); order[4]: op application order, entries 0-3
+//                (torchvision permutes op order per sample); factor < 0
+//                disables that op
+//   out        : caller buffer, size*size*3 uint8 (HWC RGB)
+// Returns 0 on success, non-zero error code otherwise.
+int pggan_load_image(const char* path, int size, int flip,
+                     const float* factors, const int* order, uint8_t* out) {
+  Image img;
+  if (!decode_file(path, &img)) return 1;
+  std::vector<float> buf;
+  resize_rgb(img, size, &buf);
+  augment_and_store(buf, size, flip, factors, order, out);
+  return 0;
+}
+
+// Decode + antialiased resize only (no augmentation, single rounding) —
+// fills the decode cache. Equivalent to pggan_load_image(flip=0, all ops
+// disabled).
+int pggan_resize_image(const char* path, int size, uint8_t* out) {
+  Image img;
+  if (!decode_file(path, &img)) return 1;
+  std::vector<float> buf;
+  resize_rgb(img, size, &buf);
+  const size_t total = size_t(size) * size * 3;
+  for (size_t i = 0; i < total; ++i)
+    out[i] = uint8_t(clampf(std::lround(buf[i]), 0.f, 255.f));
+  return 0;
+}
+
+// Flip + jitter a pre-resized square uint8 RGB image from memory — the
+// per-draw fast path over the decode cache (decode+resize amortized to
+// once per image per scale; augmentation stays per-draw). The jitter
+// arithmetic runs in float exactly like the decode path; the only
+// difference from pggan_load_image is one extra uint8 quantization at the
+// cache boundary (the reference's PIL pipeline quantizes there too:
+// Resize returns a uint8 image before ColorJitter, lib/dataset.py:103-108).
+int pggan_augment_image(const uint8_t* img, int size, int flip,
+                        const float* factors, const int* order,
+                        uint8_t* out) {
+  const size_t total = size_t(size) * size * 3;
+  std::vector<float> buf(total);
+  for (size_t i = 0; i < total; ++i) buf[i] = float(img[i]);
+  augment_and_store(buf, size, flip, factors, order, out);
   return 0;
 }
 

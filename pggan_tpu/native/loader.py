@@ -27,10 +27,9 @@ class NativeImageLoader:
         self.augment = augment
         self.jitter = (brightness, contrast, saturation, hue)
 
-    def load(self, path: str, rng: Optional[np.random.RandomState] = None
-             ) -> np.ndarray:
-        size = self.resolution
-        out = np.empty((size, size, 3), np.uint8)
+    def _draw_augment(self, rng: Optional[np.random.RandomState]):
+        """Consume the rng in a FIXED order (flip, 4 factors, shuffle) so
+        load() and augment() draw identical parameters from equal seeds."""
         if self.augment and rng is not None:
             flip = 1 if rng.rand() < 0.5 else 0
             b, c, s, h = self.jitter
@@ -46,6 +45,13 @@ class NativeImageLoader:
             flip = 0
             factors = np.full(4, -2.0, np.float32)
             order = np.arange(4, dtype=np.int32)
+        return flip, factors, order
+
+    def load(self, path: str, rng: Optional[np.random.RandomState] = None
+             ) -> np.ndarray:
+        size = self.resolution
+        out = np.empty((size, size, 3), np.uint8)
+        flip, factors, order = self._draw_augment(rng)
         rc = self.lib.pggan_load_image(
             path.encode(), size, flip,
             factors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -53,6 +59,34 @@ class NativeImageLoader:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise IOError(f"native decode failed ({rc}): {path}")
+        return out
+
+    def resize(self, path: str) -> np.ndarray:
+        """Decode + antialiased resize only — fills the decode cache."""
+        size = self.resolution
+        out = np.empty((size, size, 3), np.uint8)
+        rc = self.lib.pggan_resize_image(
+            path.encode(), size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"native decode failed ({rc}): {path}")
+        return out
+
+    def augment_cached(self, img: np.ndarray,
+                       rng: Optional[np.random.RandomState]) -> np.ndarray:
+        """Per-draw flip + jitter over a cached pre-resized uint8 image."""
+        size = self.resolution
+        assert img.shape == (size, size, 3) and img.dtype == np.uint8
+        img = np.ascontiguousarray(img)
+        out = np.empty((size, size, 3), np.uint8)
+        flip, factors, order = self._draw_augment(rng)
+        rc = self.lib.pggan_augment_image(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size, flip,
+            factors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError("native augment failed")
         return out
 
     def decode(self, path: str) -> np.ndarray:

@@ -57,6 +57,32 @@ class TestFolderDataset:
         b = ds.get(0, np.random.RandomState(2))
         np.testing.assert_array_equal(a, b)
 
+    def test_decode_cache_matches_uncached(self, image_dir):
+        """Decode-once caching: same seed → same draw; vs the uncached
+        path at most the one documented uint8 quantization LSB apart,
+        and bit-identical when augmentation is off."""
+        cached = ImageFolderDataset([image_dir], 2, cache_decoded=True)
+        uncached = ImageFolderDataset([image_dir], 2, cache_decoded=False)
+        assert cached._cache is not None and uncached._cache is None
+        a = cached.get(1, np.random.RandomState(7))
+        b = cached.get(1, np.random.RandomState(7))   # second hit = cache
+        np.testing.assert_array_equal(a, b)
+        c = uncached.get(1, np.random.RandomState(7))
+        assert np.abs(a.astype(int) - c.astype(int)).max() <= 1
+        cached_na = ImageFolderDataset([image_dir], 2, cache_decoded=True,
+                                       augment=False)
+        uncached_na = ImageFolderDataset([image_dir], 2, cache_decoded=False,
+                                         augment=False)
+        np.testing.assert_array_equal(
+            cached_na.get(2, np.random.RandomState(0)),
+            uncached_na.get(2, np.random.RandomState(0)))
+
+    def test_decode_cache_auto_respects_budget(self, image_dir):
+        big = ImageFolderDataset([image_dir], 2, decode_cache_mb=0)
+        assert big._cache is None                 # over budget → off
+        small = ImageFolderDataset([image_dir], 2, decode_cache_mb=64)
+        assert small._cache is not None           # 9×16²×3 ≪ 64 MB
+
     def test_empty_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             ImageFolderDataset([str(tmp_path)], 0)

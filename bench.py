@@ -162,15 +162,19 @@ def main(argv=None):
                                         loss_mode=ns.loss_mode)
     step_s = elapsed / ns.steps
     kind = devices[0].device_kind.lower().replace(" ", "")
-    peak = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind), 197.0)
-    mfu = tflops_per_step / step_s / peak
+    peak = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind), None)
+    # MFU only when the peak is meaningful: a known TPU kind running bf16.
+    # (CPU runs / unknown chips / f32 against a bf16 peak would report a
+    # made-up utilization that then reads as a real number in BASELINE.md.)
+    mfu = (tflops_per_step / step_s / peak
+           if peak is not None and ns.compute_dtype == "bfloat16" else None)
     result = {
         "metric": f"images/sec/chip, {res}x{res} progressive train step "
                   f"(fused D+G, {ns.loss_mode}, {ns.compute_dtype})",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 2),
-        "mfu": round(mfu, 3),
+        "mfu": round(mfu, 3) if mfu is not None else None,
         "model_tflops_per_step": round(tflops_per_step, 2),
     }
     print(json.dumps(result))

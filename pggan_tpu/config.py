@@ -143,6 +143,11 @@ class Config:
             object.__setattr__(self, "_store", copy.deepcopy(_DEFAULTS))
         else:
             object.__setattr__(self, "_store", {})
+        # Keys the USER set (yaml / CLI / attribute writes) as opposed to
+        # package defaults or a checkpoint's snapshotted args (`update`).
+        # Checkpoint restore consults this: explicitly-passed resume flags
+        # override the snapshot, defaults defer to it.
+        object.__setattr__(self, "_explicit", set())
         if dict_config:
             self.set_attribute(dict_config)
 
@@ -170,9 +175,11 @@ class Config:
 
     def __setitem__(self, key, value):
         self._store[key] = value
+        self._explicit.add(key)
 
     def __delitem__(self, key):
         del self._store[key]
+        self._explicit.discard(key)
 
     def __contains__(self, key):
         return key in self._store
@@ -199,6 +206,12 @@ class Config:
                 self._store[key] = Config(value, use_defaults=False)
             else:
                 self._store[key] = value
+            self._explicit.add(key)
+
+    def explicit_keys(self):
+        """Top-level keys explicitly set by the user (not defaults, not
+        `update` merges)."""
+        return frozenset(self._explicit)
 
     def update(self, other):
         """Recursive merge (reference `lib/config.py:63-71`)."""

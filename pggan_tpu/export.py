@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence, Union
 
+import os
+
 import numpy as np
 
 
@@ -75,7 +77,7 @@ def load_exported(src: Union[str, bytes]):
     """
     from jax import export as jexp
 
-    if isinstance(src, (str, bytes)) and not isinstance(src, bytes):
+    if isinstance(src, (str, os.PathLike)):
         with open(src, "rb") as f:
             src = f.read()
     return jexp.deserialize(bytearray(src))

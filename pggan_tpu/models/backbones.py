@@ -19,7 +19,6 @@ from typing import Any, Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from pggan_tpu.ops.basic import downscale2d
 
 
 def _conv_init(rng, cin, cout, k):
@@ -100,8 +99,11 @@ def resnet18_apply(params: Dict[str, Any], x: jax.Array,
     y = _conv(params["stem"], x, stride=2)
     y = jax.nn.relu(_bn(params["stem"]["bn"], y))
     # 3×3/2 maxpool
+    # torch MaxPool2d(3, 2, padding=1): symmetric -inf padding; XLA "SAME"
+    # would pad end-heavy (0,1) and shift every window one pixel vs torch.
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              ((0, 0), (1, 1), (1, 1), (0, 0)))
     feats: List[jax.Array] = []
     for s, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
@@ -165,8 +167,11 @@ def resnet50_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     """Returns the final feature map [B, H/32, W/32, 2048]."""
     y = _conv(params["stem"], x, stride=2)
     y = jax.nn.relu(_bn(params["stem"]["bn"], y))
+    # torch MaxPool2d(3, 2, padding=1): symmetric -inf padding; XLA "SAME"
+    # would pad end-heavy (0,1) and shift every window one pixel vs torch.
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              ((0, 0), (1, 1), (1, 1), (0, 0)))
     for s, stage in enumerate(params["stages"]):
         for b, block in enumerate(stage):
             stride = _resnet_stride(s, b)

@@ -26,9 +26,9 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 
-from pggan_tpu.models.backbones import (_conv, _conv_init, _irse_stride,
+from pggan_tpu.models.backbones import (_conv, _conv_init,
                                         init_irse_stem, init_irse_stages,
-                                        irse_block_apply, _prelu, _bn)
+                                        irse_trunk_apply, _bn)
 
 
 def _gradual_style_block_init(rng, in_ch, style_dim, spatial):
@@ -130,16 +130,11 @@ def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
     their delta only once the stage reaches them (stage=None → all on,
     the inference configuration).
     """
-    # stem (stride 1) then the IR-SE body; taps = stage-end features:
-    # c1 after flattened unit 6 (128ch, 1/4), c2 after 20 (256ch, 1/8),
-    # c3 after 23 (512ch, 1/16) — `e4e.py:236-243`
-    y = _prelu(_bn(params["stem"]["bn"], _conv(params["stem"], x)),
-               params["stem"]["prelu"])
-    taps = []
-    for stage in params["stages"]:
-        for b, block in enumerate(stage):
-            y = irse_block_apply(block, y, _irse_stride(b))
-        taps.append(y)
+    # stem (stride 1) then the shared IR-SE body; taps = stage-end
+    # features: c1 after flattened unit 6 (128ch, 1/4), c2 after 20
+    # (256ch, 1/8), c3 after 23 (512ch, 1/16) — `e4e.py:236-243`
+    _, taps = irse_trunk_apply(params["stem"], params["stages"], x,
+                               taps=True)
     c1, c2, c3 = taps[1], taps[2], taps[3]
 
     n_styles = len(params["styles"])

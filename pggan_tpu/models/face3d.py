@@ -95,6 +95,8 @@ class ParametricFaceModel:
         self.point_buf = bases.pop("point_buf", None)
         if self.face_buf is not None:
             self.face_buf = jnp.asarray(self.face_buf, jnp.int32)
+            if self.point_buf is None:      # derive vertex→face adjacency
+                self.point_buf = build_point_buf(np.asarray(self.face_buf), v)
             self.point_buf = jnp.asarray(self.point_buf, jnp.int32)
         self.b = {k: jnp.asarray(val) for k, val in bases.items()}
         self.n_vertices = v

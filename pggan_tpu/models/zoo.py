@@ -31,9 +31,20 @@ def _conv_init(rng, in_ch, out_ch, k, dtype=jnp.float32):
     return {"w": w, "b": b}
 
 
-def _conv(p, x, *, stride=1, padding="SAME"):
+def _pad_pairs(p, k):
+    """torch Conv2d integer padding → symmetric XLA pad pairs. XLA "SAME"
+    pads end-heavy on strided convs and keeps H for stride-1 even kernels
+    (torch k=4/pad=1 shrinks by 1) — weight-ported zoo modules must use
+    the reference's explicit integer paddings."""
+    if p is None:
+        p = k // 2
+    return ((p, p), (p, p))
+
+
+def _conv(p, x, *, stride=1, pad=None):
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding=padding,
+        x, p["w"], window_strides=(stride, stride),
+        padding=_pad_pairs(pad, p["w"].shape[0]),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + p["b"]
 
@@ -134,16 +145,17 @@ def init_conv_block(rng: jax.Array, *, input_dim: int, output_dim: int,
 
 
 def conv_block_apply(params: Dict[str, Any], x: jax.Array, *,
-                     stride: int = 2, norm_type: str = "bn",
-                     activation_type: str = "relu",
+                     stride: int = 2, padding: int = 1,
+                     norm_type: str = "bn", activation_type: str = "relu",
                      transpose: bool = False) -> jax.Array:
     """transpose=True: bilinear ×stride upsample then stride-1 conv;
-    else strided conv (`lib/blocks.py:36-56`)."""
+    else strided conv. `padding` is the torch integer padding
+    (`lib/blocks.py:31` ctor default 1)."""
     if transpose:
         x = interpolate2d(x, stride)
-        y = _conv(params["conv"], x, stride=1)
+        y = _conv(params["conv"], x, stride=1, pad=padding)
     else:
-        y = _conv(params["conv"], x, stride=stride)
+        y = _conv(params["conv"], x, stride=stride, pad=padding)
     y = _apply_norm(params["norm"], y, norm_type)
     return _apply_activation(y, activation_type)
 
@@ -161,9 +173,10 @@ def init_res_block(rng: jax.Array, *, in_c: int, out_c: int,
     return p
 
 
-def _conv_nobias(p, x, *, stride=1):
+def _conv_nobias(p, x, *, stride=1, pad=None):
     return jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        x, p["w"], window_strides=(stride, stride),
+        padding=_pad_pairs(pad, p["w"].shape[0]),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -227,19 +240,23 @@ def init_patch_discriminator(rng: jax.Array, *, input_dim: int = 3,
 
 
 def patch_discriminator_apply(params: Dict[str, Any], x: jax.Array,
-                              *, slope: float = 0.2,
+                              *, slope: float = 0.2, padw: int = 2,
                               get_features: bool = False):
-    """Returns patch logits [B, H', W', 1] (and per-layer features)."""
+    """Returns patch logits [B, H', W', 1] (and per-layer features).
+
+    `padw` is the torch padding: the NLayer formula ceil((kw-1)/2)=2 for
+    kw=4 (`discriminator.py:87`, the default here); the fixed PatchGAN
+    variant uses padw=1 (`discriminator.py:31`)."""
     feats = []
     y = x
     for i, p in enumerate(params["layers"]):
         stride = 2 if i < len(params["layers"]) - 1 else 1
-        y = _conv(p, y, stride=stride)
+        y = _conv(p, y, stride=stride, pad=padw)
         if i > 0:
             y = _instance_norm(y)
         y = leaky_relu(y, slope)
         feats.append(y)
-    out = _conv(params["head"], y, stride=1)
+    out = _conv(params["head"], y, stride=1, pad=padw)
     if get_features:
         return out, feats
     return out
@@ -261,14 +278,25 @@ def init_multiscale_discriminator(rng: jax.Array, *, num_scales: int = 3,
         for s in range(num_scales)]}
 
 
+def _torch_avgpool3s2(x: jax.Array) -> jax.Array:
+    """torch AvgPool2d(3, stride=2, padding=1, count_include_pad=False)
+    (`discriminator.py:146`): 3×3 mean over VALID (non-pad) elements."""
+    sums = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                 (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                   (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return sums / counts
+
+
 def multiscale_discriminator_apply(params: Dict[str, Any], x: jax.Array,
                                    *, slope: float = 0.2) -> List[jax.Array]:
-    from pggan_tpu.ops.basic import downscale2d
     outs = []
     y = x
-    for p in params["scales"]:
+    for i, p in enumerate(params["scales"]):
         outs.append(patch_discriminator_apply(p, y, slope=slope))
-        y = downscale2d(y, 2)
+        if i != len(params["scales"]) - 1:
+            y = _torch_avgpool3s2(y)
     return outs
 
 
@@ -337,6 +365,6 @@ def stargan_discriminator_apply(params, x, *, slope: float = 0.2):
         h = downscale2d(h, 2)
         h = _conv(b["conv2"], leaky_relu(h, slope))
         y = (h + skip) * inv_sqrt2
-    y = _conv(params["head1"], leaky_relu(y, slope), padding="VALID")
+    y = _conv(params["head1"], leaky_relu(y, slope), pad=0)  # 4×4, pad 0
     y = _conv(params["head2"], leaky_relu(y, slope))
     return y.reshape(y.shape[0], -1)

@@ -89,7 +89,9 @@ def downscale2d(x: jax.Array, factor: int = 2) -> jax.Array:
     assert isinstance(factor, int) and factor >= 1
     if factor == 1:
         return x
-    n, h, w, c = x.shape
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)     # integer images: mean must not
+    n, h, w, c = x.shape              # truncate (1/factor² → 0 in int)
     x = x.reshape(n, h // factor, factor, w // factor, factor, c)
     # Accumulate the 2×2 window in the input dtype: jnp.mean upcasts the
     # reduce to f32, which makes XLA materialize the producer as a full

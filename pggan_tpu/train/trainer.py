@@ -88,6 +88,7 @@ class ProgressiveGANTrainer:
                                              thread_name_prefix="pggan-ckpt")
         self._ckpt_future = None
         self._fid_sampler = None
+        self._fid_extractor_cache = None
         self._eval_ds = None
         self._rate_anchor = None        # (time, step) for imgs_per_sec
         self._pipeline: Optional[DataPipeline] = None
@@ -406,15 +407,24 @@ class ProgressiveGANTrainer:
         'random_conv' (default — deterministic, relative values) or
         'inception' (canonical InceptionV3 pool3; pass `fid_weights` =
         path to a converted npz for true Inception-FID comparability —
-        metrics/inception.py documents the torchvision conversion)."""
+        metrics/inception.py documents the torchvision conversion).
+        Cached: Inception init is ~24M parameters + an npz read —
+        rebuilding per fid_cycle would be pure repeated work. (The
+        extractor is resolution-independent, so unlike _fid_sampler it
+        survives scale jumps.)"""
+        if self._fid_extractor_cache is not None:
+            return self._fid_extractor_cache
         kind = str(self.cfg["fid_extractor"]) \
             if "fid_extractor" in self.cfg else "random_conv"
         if kind == "inception":
             from pggan_tpu.metrics import InceptionV3Features
             weights = self.cfg["fid_weights"] if "fid_weights" in self.cfg else None
-            return InceptionV3Features(weights=weights)
-        from pggan_tpu.metrics import RandomConvFeatures
-        return RandomConvFeatures(feature_dim=256)
+            extractor = InceptionV3Features(weights=weights)
+        else:
+            from pggan_tpu.metrics import RandomConvFeatures
+            extractor = RandomConvFeatures(feature_dim=256)
+        self._fid_extractor_cache = extractor
+        return extractor
 
     def compute_fid(self, num_samples: Optional[int] = None) -> float:
         """FID between generated samples and held-out (un-augmented) reals
@@ -556,9 +566,16 @@ class ProgressiveGANTrainer:
     # clobber this run's would break any post-update load (the Gema read
     # below) and make load_checkpoint non-idempotent.
         meta = loaded["G"][2]
-        preserved = {k: cfg[k] for k in ("run_id", "dataset_root_list",
-                                         "ckpt_id", "ckpt_step")
-                     if k in cfg}
+        # Run-local keys always survive; beyond them, any key the user
+        # EXPLICITLY passed for this resume run (yaml / CLI) overrides the
+        # snapshot — e.g. resuming with `g_ema_decay: 0.999` actually turns
+        # EMA on (previously the snapshotted 0.0 silently clobbered it),
+        # and a changed lr/loss_mode takes effect. Defaults defer to the
+        # snapshot as before.
+        preserve_keys = (set(("run_id", "dataset_root_list",
+                              "ckpt_id", "ckpt_step"))
+                         | set(getattr(cfg, "explicit_keys", frozenset)()))
+        preserved = {k: cfg[k] for k in preserve_keys if k in cfg}
         cfg.update(meta.get("args", {}))
         for k, v in preserved.items():
             cfg[k] = v

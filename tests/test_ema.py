@@ -147,6 +147,36 @@ class TestEMATrainer:
         finally:
             trainer2.close()
 
+    def test_enable_ema_on_resume(self, tmp_path):
+        """Resuming a no-EMA run with an explicit g_ema_decay starts EMA
+        (seeded from params): the resume config's explicitly-set keys must
+        override the checkpoint's snapshotted args, which always carry
+        g_ema_decay=0.0 for such runs."""
+        from pggan_tpu.registry import create_model
+        trainer = create_model(self._trainer_cfg(tmp_path, g_ema_decay=0.0))
+        try:
+            trainer.check_jump(0)
+            trainer.global_step = 0
+            trainer.train_step()
+            assert trainer.state.params_G_ema is None
+            trainer.cfg.run_id = "noema_run"
+            trainer.save_checkpoint(1, wait=True)
+        finally:
+            trainer.close()
+
+        cfg2 = self._trainer_cfg(tmp_path, g_ema_decay=0.9,
+                                 ckpt_id="noema_run", ckpt_step=1)
+        trainer2 = create_model(cfg2)
+        try:
+            assert float(trainer2.cfg.g_ema_decay) == 0.9
+            assert trainer2.state.params_G_ema is not None
+            # seeded from the restored params
+            for e, p in zip(jax.tree.leaves(trainer2.state.params_G_ema),
+                            jax.tree.leaves(trainer2.state.params_G)):
+                np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+        finally:
+            trainer2.close()
+
     def test_demo_ema_flag(self, tmp_path):
         from pggan_tpu.registry import create_model
         trainer = create_model(self._trainer_cfg(tmp_path))

@@ -152,6 +152,53 @@ class TestGenericBlocks:
         want = (h + tconv1(p["conv1x1"]["w"], tx)).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
+    def test_strided_conv_padding_matches_torch(self):
+        """Zoo convs use the reference's explicit integer paddings: torch
+        pads symmetrically, XLA 'SAME' pads end-heavy on strided convs —
+        weight-ported modules would silently shift by one pixel."""
+        p = zoo.init_conv_block(jax.random.PRNGKey(4), input_dim=5,
+                                output_dim=7, kernel_size=3, norm_type="bn")
+        x = rnd(2, 10, 10, 5, seed=17)
+        got = np.asarray(zoo.conv_block_apply(
+            p, jnp.asarray(x), stride=2, padding=1, norm_type="bn",
+            activation_type="none"))
+        tw = torch.from_numpy(
+            np.asarray(p["conv"]["w"]).transpose(3, 2, 0, 1).copy())
+        tb = torch.from_numpy(np.asarray(p["conv"]["b"]))
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y = F.conv2d(tx, tw, tb, stride=2, padding=1)
+        y = F.batch_norm(y, None, None,
+                         torch.from_numpy(np.asarray(p["norm"]["scale"])),
+                         torch.from_numpy(np.asarray(p["norm"]["bias"])),
+                         training=True)
+        want = y.numpy().transpose(0, 2, 3, 1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_multiscale_downsample_matches_torch(self):
+        """Between-scale pooling is AvgPool2d(3,2,1,count_include_pad=False)
+        (`submodel/discriminator.py:146`)."""
+        x = rnd(2, 9, 9, 4, seed=18)
+        got = np.asarray(zoo._torch_avgpool3s2(jnp.asarray(x)))
+        pool = torch.nn.AvgPool2d(3, stride=2, padding=[1, 1],
+                                  count_include_pad=False)
+        want = pool(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                    ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_nlayer_patch_shapes_match_torch_formula(self):
+        """k=4 padw=2 stride-2 stack: torch out = floor((H+2*2-4)/2)+1."""
+        p = zoo.init_patch_discriminator(jax.random.PRNGKey(5),
+                                         base_width=8, n_layers=3)
+        x = jnp.asarray(rnd(1, 70, 70, 3, seed=19))
+        out = zoo.patch_discriminator_apply(p, x)
+        h = 70
+        for _ in range(3):                     # stride-2 layers
+            h = (h + 4 - 4) // 2 + 1
+        h = (h + 4 - 4) // 1 + 1               # stride-1 layer
+        h = (h + 4 - 4) // 1 + 1               # head
+        assert out.shape == (1, h, h, 1)
+
     def test_adain_res_block_runs_and_grads(self):
         p = zoo.init_adain_res_block(jax.random.PRNGKey(3), in_c=8, out_c=12,
                                      style_dim=16)

@@ -18,14 +18,22 @@ WGAN-GP grad-of-grad). `impl='pallas'` dispatches to fused TPU kernels in
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+_LRELU_IMPL = os.environ.get("PGGAN_LRELU_IMPL", "where")
+
 
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    if _LRELU_IMPL == "abs":
+        # a·x + b·|x| ≡ lrelu (a=(1+s)/2, b=(1-s)/2) — keeps every
+        # differentiation order in mul/add/sign form (no predicate
+        # tensors); A/B probe for layout-copy pressure at high res.
+        return 0.5 * (1.0 + slope) * x + 0.5 * (1.0 - slope) * jnp.abs(x)
     return jnp.where(x >= 0, x, x * slope)
 
 

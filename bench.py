@@ -26,7 +26,8 @@ import time
 import numpy as np
 
 PYTORCH_GPU_BASELINE_IMGS_PER_SEC = 45.0   # analytical; see BASELINE.md
-PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0}  # per chip
+PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0,
+                    "tpuv5lite": 197.0}  # device_kind 'TPU v5 lite'
 
 
 def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,

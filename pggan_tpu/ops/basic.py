@@ -43,9 +43,17 @@ def blend(a: jax.Array, b: jax.Array, alpha: jax.Array) -> jax.Array:
     Used in three places, matching the reference: G RGB-domain blend
     (`pggan/nets.py:156`), D feature-domain blend (`pggan/nets.py:265`), and
     the real-image fade (`pggan/model.py:221`).
+
+    The two weights are computed in f32 and the arithmetic upcast around
+    the bf16 activations: casting alpha to bf16 first quantizes the fade
+    to ~2⁻⁸ steps — with the default Ntimes=400-600 cadence,
+    bf16(1 − 1/600) == 1.0, so the first several alpha jumps would be
+    exact no-ops and the weights would not sum to 1. The converts fuse
+    into the neighboring ops; the output returns in the activation dtype.
     """
-    alpha = jnp.asarray(alpha, dtype=a.dtype)
-    return (1.0 - alpha) * a + alpha * b
+    alpha = jnp.asarray(alpha, dtype=jnp.float32)
+    out = (1.0 - alpha) * a.astype(jnp.float32) + alpha * b.astype(jnp.float32)
+    return out.astype(a.dtype)
 
 
 def pixel_norm(x: jax.Array, eps: float = 1e-8, impl: str = "xla") -> jax.Array:

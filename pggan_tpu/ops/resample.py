@@ -73,9 +73,10 @@ def upfirdn2d(x: jax.Array, f: Optional[jax.Array], *, up: int = 1,
     """Upsample (zero-insert), pad, FIR-filter, downsample. NHWC.
 
     Matches `_upfirdn2d_ref` (`upfirdn2d.py:167-211`) including the
-    filter-flip convention: by default the filter is applied as
-    *correlation* (flipped conv), `flip_filter=True` applies it as
-    convolution.
+    filter-flip convention (`upfirdn2d.py:151`): `flip_filter=False`
+    (default) applies the filter as *convolution* (we pre-flip the taps so
+    XLA's correlation computes a convolution), `flip_filter=True` as
+    correlation.
     """
     n, h, w, c = x.shape
     upx, upy = _parse_scaling(up)
@@ -120,10 +121,13 @@ def filter2d(x: jax.Array, f: jax.Array, *, padding: _PadT = 0,
     """FIR-filter NHWC, keeping resolution (`upfirdn2d.py:277-311`)."""
     fh, fw = (f.shape[0], f.shape[0]) if f.ndim == 1 else f.shape
     px0, px1, py0, py1 = _parse_padding(padding)
-    px0 += (fw - 1) // 2
-    px1 += fw // 2
-    py0 += (fh - 1) // 2
-    py1 += fh // 2
+    # Reference split (`upfirdn2d.py:303-307`): the LEADING pad takes the
+    # larger half (fw//2), the trailing the smaller ((fw-1)//2) — for
+    # even-tap filters the swapped split shifts the output by one pixel.
+    px0 += fw // 2
+    px1 += (fw - 1) // 2
+    py0 += fh // 2
+    py1 += (fh - 1) // 2
     return upfirdn2d(x, f, padding=(px0, px1, py0, py1),
                      flip_filter=flip_filter, gain=gain)
 

@@ -111,7 +111,13 @@ def make_train_step(cfg, scale_index: int,
     r1_interval > 1 the step takes an extra traced boolean `apply_r1` and
     branches via `lax.cond` INSIDE one compiled program (one executable
     per scale — switching between two large executables per step proved
-    fragile on remote-compile backends). True/False force it statically.
+    fragile on remote-compile backends). True/False instead build the two
+    branch programs statically (the alternative two-executable scheme):
+    the forced-True program KEEPS the ×r1_interval lazy-cadence scaling
+    because it is meant to run only on the 1-in-interval penalty steps —
+    it is the static twin of the cond's r1 branch, NOT an every-step-R1
+    config (that is r1_interval=1). Equivalence with the cond branches is
+    tested (tests/test_train_step.py).
     """
     latent_dim = int(cfg.latent_dim)
     slope = float(cfg.LReLU_slope)

@@ -98,13 +98,21 @@ class ProgressiveGANTrainer:
 
     # -- construction sequence (lib/model_loader.py:13-21 order) -------------
     def setup(self):
-        self.initialize_models()
-        self.set_optimizers()
-        self.set_dataset()
-        self.set_data_iterator()
-        self.set_loss_collector()
         if self.cfg.ckpt_id is not None:
+            # Resume builds ONCE at the restored scale: load_checkpoint
+            # restores args + schedule, then runs the same
+            # initialize_models/set_dataset/set_data_iterator sequence
+            # itself — pre-building the scale-0 state here would compile,
+            # scan, and spawn workers only to throw it all away.
             self.load_checkpoint()
+        else:
+            self.initialize_models()
+            self.set_optimizers()
+            self.set_dataset()
+            self.set_data_iterator()
+        # After any restore, so the collector's max_step denominator and
+        # cycles reflect the restored args.
+        self.set_loss_collector()
         self._build_step_fn()
         return self
 
@@ -581,6 +589,13 @@ class ProgressiveGANTrainer:
             cfg[k] = v
         cfg.isMaster = self.is_master
 
+        # Rebuild the schedule from the RESTORED cfg before loading its
+        # scalar state: the per-scale lists (max_step_at_scale,
+        # alpha_jump_*) may have been restored from the snapshot (or
+        # explicitly overridden), and the schedule constructed at __init__
+        # still holds the pre-restore lists — future jumps/fades would
+        # silently use the wrong durations.
+        self.schedule = ProgressiveSchedule.from_config(cfg, verbose=False)
         self.schedule.load_state_dict(meta["schedule"])
         self.global_step = int(meta["global_step"])
 

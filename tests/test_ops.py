@@ -206,6 +206,38 @@ class TestUpfirdn2d:
         assert g.shape == x.shape
 
 
+class TestFilter2d:
+    @staticmethod
+    def np_filter2d(x, f):
+        """Direct numpy port of the vendored filter2d (`upfirdn2d.py:277-311`
+        with `_upfirdn2d_ref`): resolution-preserving CONVOLUTION with the
+        leading pad taking the larger half (fw//2) — the split that
+        matters for even-tap filters."""
+        fh = fw = len(f)
+        f2 = np.outer(f, f).astype(np.float32)[::-1, ::-1]   # conv = flipped
+        py0, py1 = fh // 2, (fh - 1) // 2
+        px0, px1 = fw // 2, (fw - 1) // 2
+        xp = np.pad(x, ((0, 0), (py0, py1), (px0, px1), (0, 0)))
+        n, h, w, c = x.shape
+        out = np.zeros_like(x, dtype=np.float32)
+        for i in range(h):
+            for j in range(w):
+                out[:, i, j, :] = np.einsum(
+                    "bhwc,hw->bc", xp[:, i:i + fh, j:j + fw, :], f2)
+        return out
+
+    @pytest.mark.parametrize("taps", [[1.0, 3.0, 3.0, 1.0],   # even (4-tap)
+                                      [1.0, 2.0, 1.0]])        # odd
+    def test_matches_reference_padding_split(self, taps):
+        from pggan_tpu.ops.resample import filter2d
+        f = np.asarray(taps, np.float32)
+        f = f / f.sum()
+        x = rand(2, 6, 6, 3, seed=21)
+        got = np.asarray(filter2d(jnp.asarray(x), jnp.asarray(f)))
+        np.testing.assert_allclose(got, self.np_filter2d(x, f),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestBlend:
     def test_formula(self):
         a, b = jnp.ones((2, 2)), jnp.zeros((2, 2))
@@ -214,3 +246,19 @@ class TestBlend:
     def test_alpha_zero_is_old(self):
         a, b = jnp.asarray(rand(2, 2)), jnp.asarray(rand(2, 2, seed=5))
         np.testing.assert_allclose(np.asarray(blend(a, b, 0.0)), np.asarray(a))
+
+    def test_bf16_activations_keep_f32_fade_resolution(self):
+        """Weights compute in f32: bf16(1 − 1/600) == 1.0, so a bf16-cast
+        alpha would make the first fade jumps exact no-ops and let the
+        weights sum past 1."""
+        a = jnp.ones((4, 4), jnp.bfloat16)
+        b = -jnp.ones((4, 4), jnp.bfloat16)
+        small = 1.0 / 600.0
+        out0 = np.asarray(blend(a, b, jnp.float32(0.0)), np.float32)
+        out1 = np.asarray(blend(a, b, jnp.float32(small)), np.float32)
+        assert out0.dtype == np.float32 and blend(a, b, 0.0).dtype == jnp.bfloat16
+        # alpha=1/600 moves the blend: (1-2a) = 0.99667 → bf16 0.99609
+        assert out1[0, 0] < out0[0, 0]
+        expected = np.float32(np.asarray(
+            jnp.asarray(1.0 - 2 * small, jnp.bfloat16)))
+        np.testing.assert_allclose(out1[0, 0], expected, rtol=1e-6)

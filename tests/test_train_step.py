@@ -117,6 +117,36 @@ class TestStepSemantics:
         np.testing.assert_allclose(float(m_on["L_D_r1"]),
                                    4 * float(m1["L_D_r1"]), rtol=1e-4)
 
+    def test_include_r1_static_twins_match_cond_branches(self):
+        """include_r1=True/False build the lax.cond branches as static
+        programs (the two-executable scheme): forced-True must equal the
+        cond's on-step (incl. the ×interval lazy compensation — it runs
+        only on penalty steps), forced-False the off-step."""
+        cfg = base_cfg(r1_interval=4)
+        img = batch(8, 4)
+        a = jnp.float32(0.0)
+
+        state, og, od = setup_state(cfg)
+        fn = make_train_step(cfg, 0, og, od)
+        _, m_on, _ = fn(state, img, a, True)
+        state, og, od = setup_state(cfg)
+        _, m_off, _ = fn(state, img, a, False)
+
+        state, og, od = setup_state(cfg)
+        fn_t = make_train_step(cfg, 0, og, od, include_r1=True)
+        _, m_t, _ = fn_t(state, img, a)
+        state, og, od = setup_state(cfg)
+        fn_f = make_train_step(cfg, 0, og, od, include_r1=False)
+        _, m_f, _ = fn_f(state, img, a)
+
+        np.testing.assert_allclose(float(m_t["L_D_r1"]),
+                                   float(m_on["L_D_r1"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_t["L_D"]),
+                                   float(m_on["L_D"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_f["L_D"]),
+                                   float(m_off["L_D"]), rtol=1e-5)
+        assert float(m_f["L_D_r1"]) == 0.0
+
     def test_he_scale_constants_never_train(self):
         # The equalized-LR He constant lives in the pytree for checkpoint
         # round-tripping but is a fixed runtime constant (lib/layers.py:56

@@ -143,6 +143,33 @@ class TestResume:
         finally:
             trainer2.close()
 
+    def test_resume_restores_schedule_lists_from_snapshot(self, tmp_path):
+        """The per-scale schedule LISTS (max_step_at_scale, alpha_jump_*)
+        must come from the checkpoint snapshot when the resume config does
+        not explicitly set them — the schedule is rebuilt post-restore, so
+        future jumps/fades use the original run's durations."""
+        cfg = smoke_cfg(tmp_path, max_step_at_scale=[7, 9, 9],
+                        alpha_jump_start=[-1, 3, 3])
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("sched", max_step=2)
+        finally:
+            trainer.close()
+
+        # minimal resume config: schedule lists NOT explicitly set →
+        # package defaults, which the snapshot must override
+        cfg2 = Config({"save_root": str(tmp_path / "results"),
+                       "ckpt_id": "sched", "use_mGPU": True})
+        trainer2 = create_model(cfg2)
+        try:
+            assert list(trainer2.schedule.max_step_at_scale) == [7, 9, 9]
+            assert list(trainer2.schedule.alpha_jump_start) == [-1, 3, 3]
+            assert trainer2.schedule.next_scale_jump_step == 7
+            # the fit total uses the restored budget too
+            assert list(trainer2.cfg.max_step_at_scale) == [7, 9, 9]
+        finally:
+            trainer2.close()
+
     def test_resume_restores_rng_stream(self, tmp_path):
         # The post-step RNG key is checkpointed so a resumed run continues
         # the SAME latent/eps stream instead of replaying from the seed.

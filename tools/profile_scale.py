@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--trace_steps", type=int, default=3)
     ap.add_argument("--logdir", default="/tmp/xprof_s8")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
     ns = ap.parse_args()
 
     import jax, jax.numpy as jnp
@@ -31,7 +32,7 @@ def main():
     depths = [512, 512, 512, 512, 256, 128, 64, 32, 16][:max(ns.scale + 1, 7)]
     res = 2 ** (ns.scale + 2)
     cfg = Config({"depths": depths, "latent_dim": 512,
-                  "compute_dtype": "bfloat16", "loss_mode": "r1",
+                  "compute_dtype": "bfloat16", "loss_mode": ns.loss_mode,
                   "donate_buffers": True,
                   "remat": True if ns.remat else "auto"})
     opt_g, opt_d = make_optimizers(cfg)

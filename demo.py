@@ -107,7 +107,8 @@ def main(argv=None):
             path = os.path.join(out_dir, f"result_{written + i}.jpg")
             try:
                 import cv2
-                cv2.imwrite(path, imgs[i][:, :, ::-1])
+                if not cv2.imwrite(path, imgs[i][:, :, ::-1]):
+                    raise IOError(f"cv2.imwrite returned False for {path}")
             except Exception:
                 from PIL import Image
                 Image.fromarray(imgs[i]).save(path, quality=95)

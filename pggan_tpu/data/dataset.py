@@ -86,8 +86,10 @@ class ImageFolderDataset:
     uint8 array. Semantics note: the cache quantizes to uint8 between
     resize and jitter — exactly where the reference's PIL pipeline
     quantizes (Resize yields a uint8 image before ColorJitter,
-    `lib/dataset.py:103-108`); the uncached native path keeps float through
-    the jitter (≤1 LSB difference).
+    `lib/dataset.py:103-108`); cached-vs-uncached NATIVE draws differ by
+    ≤1 LSB (measured). Native-vs-PIL jitter itself is distributionally
+    equivalent but not bit-exact (float chain vs per-op uint8
+    quantization; up to ~4 LSB — see loader.cpp header).
     """
 
     def __init__(self, dataset_root_list: Sequence[str], scale_index: int = 0,
@@ -216,7 +218,13 @@ class PairedFaceDataset:
     def __init__(self, dataset_root_list: Sequence[str], *,
                  is_master: bool = False, same_prob: float = 0.2,
                  resolution: int = 256):
-        self.paths = list_image_paths(dataset_root_list)
+        # Per-root path lists are kept: the reference's cross-identity
+        # target draw picks a ROOT uniformly, then an image within it
+        # (`lib/dataset.py:44-46`) — path-uniform sampling would weight
+        # large roots more when roots differ in size.
+        self.per_root = [ps for ps in (list_image_paths([r])
+                                       for r in dataset_root_list) if ps]
+        self.paths = [p for ps in self.per_root for p in ps]
         if not self.paths:
             raise FileNotFoundError(
                 f"no images found under {list(dataset_root_list)!r}")
@@ -240,7 +248,8 @@ class PairedFaceDataset:
         src_path = self.paths[index % len(self.paths)]
         xs = self._load(src_path, rng)
         if rng.rand() > self.same_prob:
-            xt = self._load(self.paths[rng.randint(len(self.paths))], rng)
+            root = self.per_root[rng.randint(len(self.per_root))]
+            xt = self._load(root[rng.randint(len(root))], rng)
             same = 0
         else:
             xt = self._load(src_path, rng)

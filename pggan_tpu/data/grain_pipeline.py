@@ -25,13 +25,20 @@ class GrainPipeline:
     def __init__(self, dataset, batch_size: int, *,
                  indices: Optional[Sequence[int]] = None,
                  num_workers: int = 8, prefetch_depth: int = 2,
-                 seed: int = 42, shard_fn=None):
+                 seed: int = 42, shard_fn=None,
+                 rank: int = 0, num_replicas: int = 1):
+        assert 0 <= int(rank) < int(num_replicas)
         self.shard_fn = shard_fn
         indices = list(indices) if indices is not None \
             else list(range(len(dataset)))
-        if len(indices) < batch_size:
-            reps = -(-batch_size // len(indices))
+        if len(indices) < batch_size * num_replicas:
+            reps = -(-batch_size * num_replicas // len(indices))
             indices = (indices * reps)[:max(batch_size, len(indices) * reps)]
+        # Multi-host: static round-robin shard of the index list (each
+        # host shuffles and draws only its own subset); per-record seeds
+        # fold the rank so co-scheduled hosts never share jitter streams.
+        indices = indices[int(rank)::int(num_replicas)]
+        seed = (seed + 1_000_003 * int(rank)) % (2**31 - 1)
 
         def load(args):
             index, rec_seed = args

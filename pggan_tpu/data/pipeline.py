@@ -31,6 +31,12 @@ class InfiniteSampler:
     """Endless index stream with windowed incremental shuffling — the
     `torch_utils/misc.py:111-142` InfiniteSampler, framework-free.
 
+    Capability-parity component: DataPipeline deliberately does NOT use
+    it — its per-epoch permutation + drop_last + round-robin rank shard
+    reproduces the reference's DataLoader(+DistributedSampler) semantics
+    (`lib/model.py:50-52`), while this class reproduces StyleGAN2's
+    streaming sampler for users who want that behavior.
+
     Yields dataset indices forever; each yielded position is swapped with
     a random earlier position inside a sliding window (`window_size` as a
     fraction of the dataset), so the order keeps mixing without full
@@ -73,16 +79,28 @@ class DataPipeline:
     def __init__(self, dataset, batch_size: int, *,
                  indices: Optional[Sequence[int]] = None,
                  num_workers: int = 8, prefetch_depth: int = 2,
-                 seed: int = 42, shard_fn=None):
+                 seed: int = 42, shard_fn=None,
+                 rank: int = 0, num_replicas: int = 1):
         """`batch_size` is the per-host batch. `shard_fn(np_batch)` may
-        device_put with a NamedSharding; it runs on the prefetch thread."""
+        device_put with a NamedSharding; it runs on the prefetch thread.
+
+        Multi-host: `rank`/`num_replicas` shard each epoch's permutation
+        round-robin (DistributedSampler semantics, `lib/model.py:50`) —
+        the permutation is drawn from the SHARED seed so every process
+        agrees on it, then each takes `order[rank::num_replicas]`, so the
+        per-host batches assembled by `make_array_from_process_local_data`
+        are disjoint slices of one global epoch. Per-sample augmentation
+        seeds come from a per-rank stream."""
+        assert 0 <= int(rank) < int(num_replicas)
         self.dataset = dataset
         self.batch_size = int(batch_size)
+        self.rank = int(rank)
+        self.num_replicas = int(num_replicas)
         self.indices = np.asarray(indices if indices is not None
                                   else np.arange(len(dataset)))
-        if len(self.indices) < self.batch_size:
+        if len(self.indices) < self.batch_size * self.num_replicas:
             # small datasets: sample with replacement rather than starving
-            reps = -(-self.batch_size // len(self.indices))
+            reps = -(-self.batch_size * self.num_replicas // len(self.indices))
             self.indices = np.tile(self.indices, reps)
         self.num_workers = max(1, int(num_workers))
         self.prefetch_depth = max(1, int(prefetch_depth))
@@ -98,9 +116,16 @@ class DataPipeline:
     # -- producer ------------------------------------------------------------
     def _producer(self):
         epoch = 0
+        # permutation stream: SHARED across ranks (same seed) so the
+        # round-robin shards are disjoint pieces of one global epoch;
+        # augmentation stream: per-rank, so co-scheduled hosts never
+        # apply identical jitter to their (distinct) samples.
         rng_master = np.random.RandomState(self.seed)
+        rng_aug = np.random.RandomState(
+            (self.seed + 1_000_003 * self.rank) % (2**31 - 1))
         while not self._stop.is_set():
             order = rng_master.permutation(len(self.indices))
+            order = order[self.rank::self.num_replicas]
             n_batches = len(order) // self.batch_size   # drop_last
             for b in range(max(n_batches, 1)):
                 if self._stop.is_set():
@@ -109,7 +134,7 @@ class DataPipeline:
                 if len(sel) < self.batch_size:          # tiny dataset fallback
                     sel = np.concatenate([sel, order[:self.batch_size - len(sel)]])
                 idxs = self.indices[sel]
-                seeds = rng_master.randint(0, 2**31 - 1, size=len(idxs))
+                seeds = rng_aug.randint(0, 2**31 - 1, size=len(idxs))
                 try:
                     futures = [
                         self._pool.submit(self.dataset.get, int(i),

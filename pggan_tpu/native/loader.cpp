@@ -13,7 +13,12 @@
 //     filtering (support widens by the downscale factor)
 //   * horizontal flip
 //   * torchvision-order color jitter: brightness/contrast/saturation
-//     blends + HSV hue rotation, applied in a caller-provided order
+//     blends + HSV hue rotation, applied in a caller-provided order.
+//     NOT bit-exact vs PIL/torchvision: ImageEnhance quantizes to uint8
+//     between ops and rounds the contrast mean to int, while this chain
+//     stays in float and uses continuous HSV — measured divergence up to
+//     ~4 LSB (mean ~1.5) on random JPEGs; distributionally equivalent
+//     augmentation, not a weight-for-weight parity surface.
 //   * output: uint8 RGB, HWC
 //
 // Build: see build.py (g++ -O3 -fopenmp, cached .so — the JIT-compile
@@ -100,17 +105,30 @@ bool decode_png(FILE* f, Image* out) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
-  // normalize to 8-bit RGB
+  // normalize to 8-bit RGB. Transparency is DISCARDED (tRNS chunks are
+  // not expanded to an alpha channel — expanding then stripping only for
+  // originally-alpha color types overflowed w*3 rows for palette/gray
+  // PNGs with tRNS, a heap smash that aborted the process).
   if (bit_depth == 16) png_set_strip_16(png);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // Unconditional: alpha may also come from palette expansion (palette +
+  // tRNS expands to RGBA inside png_set_palette_to_rgb), not only from
+  // an alpha color_type; stripping is a no-op on 3-channel data.
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
+
+  // Hard guarantee before writing rows: whatever transform combination
+  // libpng settled on must yield exactly 3 bytes/pixel — otherwise fail
+  // the decode (IOError → per-image PIL fallback), never overflow.
+  if (png_get_rowbytes(png, info) != size_t(w) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
 
   out->w = int(w);
   out->h = int(h);

@@ -200,7 +200,8 @@ class ProgressiveGANTrainer:
             num_workers=int(self.cfg.num_data_workers),
             prefetch_depth=int(self.cfg.prefetch_depth),
             seed=int(self.cfg.seed) + self.schedule.scale_index,
-            shard_fn=lambda b: shard_batch(b, mesh))
+            shard_fn=lambda b: shard_batch(b, mesh),
+            rank=jax.process_index(), num_replicas=jax.process_count())
 
     def set_loss_collector(self):
         max_step = min(sum(self.cfg.max_step_at_scale), self.cfg.max_step)
@@ -384,7 +385,8 @@ class ProgressiveGANTrainer:
                 self.dataset, self.local_batch_size,
                 indices=self._valid_indices, num_workers=2,
                 prefetch_depth=1, seed=7,
-                shard_fn=lambda b: shard_batch(b, self.mesh))
+                shard_fn=lambda b: shard_batch(b, self.mesh),
+                rank=jax.process_index(), num_replicas=jax.process_count())
         batch = next(self._valid_pipeline)
         from pggan_tpu.models import discriminator_apply
         logits = discriminator_apply(
@@ -567,6 +569,16 @@ class ProgressiveGANTrainer:
                     f"checkpoint {name} not found for ckpt_id={cfg.ckpt_id!r} "
                     f"step={cfg.ckpt_step!r} under {cfg.save_root!r}")
             loaded[name] = result
+        # The per-net saves are individually atomic but the SET is not: a
+        # kill between G's and D's `latest` refresh leaves aliases from
+        # different steps. Loudly refuse a mixed pair instead of silently
+        # training a G/D trained ckpt_cycle steps apart.
+        steps = {name: int(loaded[name][2]["global_step"]) for name in loaded}
+        if len(set(steps.values())) != 1:
+            raise RuntimeError(
+                f"checkpoint step mismatch across nets: {steps} — the run "
+                f"was likely killed mid-save; resume from an explicit "
+                f"consistent step (--ckpt_step {min(steps.values())})")
 
     # args restore, preserving run-local keys (`lib/model_loader.py:26-31`)
     # plus the resume target itself: the snapshotted args carry the

@@ -53,7 +53,10 @@ def save_image(save_root: str, run_id: str, global_step: int, subdir: str,
     path = os.path.join(dir_path, f"e{global_step}.jpg")
     try:
         import cv2
-        cv2.imwrite(path, grid[:, :, ::-1])
+        # cv2.imwrite signals failure by RETURNING False, not raising —
+        # treat it like an exception so the PIL fallback actually engages.
+        if not cv2.imwrite(path, grid[:, :, ::-1]):
+            raise IOError(f"cv2.imwrite returned False for {path}")
     except Exception:
         from PIL import Image
         Image.fromarray(grid).save(path, quality=95)

@@ -64,6 +64,49 @@ def smoke_cfg(tmp_path, **over):
     })
 
 
+class _RecordingDataset:
+    """Stub dataset capturing (index, first rng draw) per get()."""
+
+    def __init__(self, n):
+        self.n = n
+        self.calls = []
+
+    def __len__(self):
+        return self.n
+
+    def get(self, index, rng):
+        self.calls.append((int(index), int(rng.randint(0, 2**31 - 1))))
+        return np.zeros((4, 4, 3), np.uint8)
+
+
+class TestDataPipelineRankSharding:
+    def test_ranks_draw_disjoint_epoch_shards(self):
+        """DistributedSampler semantics (`lib/model.py:50`): the shared-
+        seed epoch permutation is split round-robin, so two ranks' batches
+        are disjoint and together cover the epoch; augmentation rng
+        streams differ per rank."""
+        from pggan_tpu.data.pipeline import DataPipeline
+        n, bs = 32, 8
+        per_rank_batches = 2                   # (32/2 ranks)/8 per batch
+        draws = {}
+        for rank in (0, 1):
+            ds = _RecordingDataset(n)
+            pipe = DataPipeline(ds, bs, num_workers=1, prefetch_depth=1,
+                                seed=123, rank=rank, num_replicas=2)
+            it = iter(pipe)
+            for _ in range(per_rank_batches):
+                next(it)
+            pipe.close()
+            draws[rank] = list(ds.calls[:per_rank_batches * bs])
+        idx0 = {i for i, _ in draws[0]}
+        idx1 = {i for i, _ in draws[1]}
+        assert idx0.isdisjoint(idx1)
+        assert idx0 | idx1 == set(range(n))    # one full epoch, covered
+        seeds0 = [s for _, s in draws[0]]
+        seeds1 = [s for _, s in draws[1]]
+        assert seeds0 != seeds1                # per-rank jitter streams
+
+
 class TestAllProcessEvalHooks:
     def test_validation_runs_on_non_master(self, tmp_path, monkeypatch):
         # multi-host safety: validation is an SPMD eval that EVERY process

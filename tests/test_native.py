@@ -52,6 +52,26 @@ class TestDecode:
             loader.load("/nonexistent/x.jpg")
 
 
+class TestPngVariants:
+    def test_trns_palette_gray_and_rgba_decode_safely(self, tmp_path):
+        """Palette/gray PNGs with a tRNS chunk expand to RGBA inside
+        libpng — alpha must be stripped for ANY source (a conditional
+        strip overflowed the w*3 row buffers and aborted the process)."""
+        from pggan_tpu.native.loader import NativeImageLoader
+        rs = np.random.RandomState(3)
+        pal = Image.fromarray(
+            rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)).convert("P")
+        pal.save(tmp_path / "pal_trns.png", transparency=5)
+        Image.fromarray(rs.randint(0, 255, (32, 32), dtype=np.uint8),
+                        "L").save(tmp_path / "gray_trns.png", transparency=7)
+        Image.fromarray(rs.randint(0, 255, (32, 32, 4), dtype=np.uint8),
+                        "RGBA").save(tmp_path / "rgba.png")
+        nl = NativeImageLoader(16, augment=False)
+        for name in ("pal_trns.png", "gray_trns.png", "rgba.png"):
+            arr = nl.load(str(tmp_path / name))
+            assert arr.shape == (16, 16, 3) and arr.dtype == np.uint8
+
+
 class TestResize:
     @pytest.mark.parametrize("size", [4, 16, 64])
     def test_resize_close_to_pil(self, image_files, size):

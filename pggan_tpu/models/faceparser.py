@@ -117,4 +117,9 @@ def bisenet_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
 
     out = _conv_bn_relu(params["head"]["conv"], feat)
     out = _conv(params["head"]["out"], out)
-    return _upsample_to(out, h, w)
+    # FINAL logits upsample is bilinear align_corners=True
+    # (`faceparser.py:206`) — only the ContextPath's internal merges are
+    # nearest (`:158-167`); nearest here would give blocky 1/8-grid
+    # boundaries and break torch parity for ported weights.
+    from pggan_tpu.models.e4e import _bilinear_align_corners
+    return _bilinear_align_corners(out, h, w)

@@ -268,9 +268,13 @@ def patch_discriminator_apply(params: Dict[str, Any], x: jax.Array,
 
 def init_multiscale_discriminator(rng: jax.Array, *, num_scales: int = 3,
                                   input_dim: int = 3, base_width: int = 64,
-                                  n_layers: int = 3) -> Dict[str, Any]:
-    """One PatchGAN per scale, input avg-pooled ×2 between scales
-    (`discriminator.py:132-172`)."""
+                                  n_layers: int = 6) -> Dict[str, Any]:
+    """One NLayer net per scale, input pooled between scales
+    (`discriminator.py:132-172`). Defaults follow the reference
+    (n_layers=6, num_D=3, `discriminator.py:133`). `scales[s]` corresponds
+    to the torch parameter `layer{s}` — the APPLY walks them in reverse
+    (`layer{num_D-1-i}` consumes the i-th downsampled input,
+    `discriminator.py:163-171`), so path-wise weight mapping is direct."""
     return {"scales": [
         init_patch_discriminator(jax.random.fold_in(rng, s),
                                  input_dim=input_dim, base_width=base_width,
@@ -291,11 +295,17 @@ def _torch_avgpool3s2(x: jax.Array) -> jax.Array:
 
 def multiscale_discriminator_apply(params: Dict[str, Any], x: jax.Array,
                                    *, slope: float = 0.2) -> List[jax.Array]:
+    """Returns per-scale logits in the reference's result order: entry i
+    is `layer{num_D-1-i}` applied to the i-th downsampled input
+    (`discriminator.py:163-171` — full resolution goes through the LAST
+    per-scale net)."""
+    num_d = len(params["scales"])
     outs = []
     y = x
-    for i, p in enumerate(params["scales"]):
-        outs.append(patch_discriminator_apply(p, y, slope=slope))
-        if i != len(params["scales"]) - 1:
+    for i in range(num_d):
+        outs.append(patch_discriminator_apply(
+            params["scales"][num_d - 1 - i], y, slope=slope))
+        if i != num_d - 1:
             y = _torch_avgpool3s2(y)
     return outs
 
@@ -305,9 +315,11 @@ def multiscale_discriminator_apply(params: Dict[str, Any], x: jax.Array,
 # ---------------------------------------------------------------------------
 
 def init_latent_discriminator(rng: jax.Array, *, code_dim: int = 512,
-                              hidden: Sequence[int] = (256, 128, 64, 32, 16)
+                              hidden: Sequence[int] = (512, 512, 512)
                               ) -> Dict[str, Any]:
-    """MLP over latent codes (`discriminator.py:7-23`)."""
+    """MLP over latent codes (`discriminator.py:7-23`): the reference's
+    n_mlp=4 default is three Linear(512,512)+LReLU then Linear(512,1) —
+    the default `hidden` matches it so checkpoints map path-wise."""
     dims = [code_dim] + list(hidden) + [1]
     layers = []
     for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
@@ -344,11 +356,18 @@ def init_stargan_discriminator(rng: jax.Array, *, img_size: int = 256,
     for i in range(repeat):
         c_out = min(c_in * 2, max_width)
         k = jax.random.fold_in(rng, 10 + i)
-        blocks.append({
+        block = {
             "conv1": _conv_init(jax.random.fold_in(k, 0), c_in, c_in, 3),
             "conv2": _conv_init(jax.random.fold_in(k, 1), c_in, c_out, 3),
-            "skip": _conv_init(jax.random.fold_in(k, 2), c_in, c_out, 1),
-        })
+        }
+        if c_in != c_out:
+            # ResBlk's learned shortcut exists ONLY on width changes and
+            # is bias-free (`discriminator.py:209,219`: learned_sc =
+            # dim_in != dim_out, conv1x1 bias=False); equal-width blocks
+            # use the identity
+            block["skip"] = {
+                "w": _conv_init(jax.random.fold_in(k, 2), c_in, c_out, 1)["w"]}
+        blocks.append(block)
         c_in = c_out
     head1 = _conv_init(jax.random.fold_in(rng, 90), c_in, c_in, 4)
     head2 = _conv_init(jax.random.fold_in(rng, 91), c_in, num_domains, 1)
@@ -360,7 +379,8 @@ def stargan_discriminator_apply(params, x, *, slope: float = 0.2):
     y = _conv(params["stem"], x)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for b in params["blocks"]:
-        skip = downscale2d(_conv(b["skip"], y), 2)
+        skip = y if "skip" not in b else _conv_nobias(b["skip"], y)
+        skip = downscale2d(skip, 2)
         h = _conv(b["conv1"], leaky_relu(y, slope))
         h = downscale2d(h, 2)
         h = _conv(b["conv2"], leaky_relu(h, slope))

@@ -40,30 +40,60 @@ def report0(name: str, value) -> None:
         report(name, value)
 
 
-def psum_report(name: str, value, axis_name: str):
-    """Device-side variant for use INSIDE a shard_map/pmap region: returns
-    the psum'd value; call `report(name, result)` on the host after. The
-    all_reduce the reference does eagerly (`training_stats.py:254-255`)
-    rides ICI here."""
-    return jax.lax.psum(jnp.asarray(value), axis_name)
+def psum_moments(value, axis_name: str):
+    """Device-side cross-replica moments for use INSIDE a shard_map/pmap
+    region: computes the LOCAL [num, sum, sumsq] then psums the moment
+    vector — exactly the reference's all_reduce of moments
+    (`training_stats.py:246-255`), so `report_moments(name, result)` on
+    the host yields the true cross-device mean/std. (Psumming the raw
+    value and report()ing it would record a mean inflated by the device
+    count.) The reduction rides ICI."""
+    v = jnp.asarray(value, jnp.float32).ravel()
+    local = jnp.stack([jnp.float32(v.size), jnp.sum(v),
+                       jnp.sum(jnp.square(v))])
+    return jax.lax.psum(local, axis_name)
+
+
+def report_moments(name: str, moments) -> None:
+    """Accumulate a pre-computed [num, sum, sumsq] vector (the host half
+    of `psum_moments`)."""
+    m = np.asarray(jax.device_get(moments), dtype=np.float64).ravel()
+    assert m.shape == (3,), m.shape
+    if name in _counters:
+        _counters[name] = _counters[name] + m
+    else:
+        _counters[name] = m
 
 
 class Collector:
     """Snapshot-and-delta view over the global counters
-    (`training_stats.py:113-226`)."""
+    (`training_stats.py:113-226`).
 
-    def __init__(self, regex: str = ".*"):
+    Reference semantics preserved: the baseline snapshot is taken at
+    CONSTRUCTION (`training_stats.py:130-136` — history from before the
+    collector existed is excluded), and with `keep_previous=True` (the
+    reference default) an update() round that saw no new reports RETAINS
+    the previous round's statistics instead of going NaN
+    (`training_stats.py:161-167`)."""
+
+    def __init__(self, regex: str = ".*", keep_previous: bool = True):
         import re
         self._pattern = re.compile(regex)
+        self._keep_previous = bool(keep_previous)
         self._deltas: Dict[str, np.ndarray] = {}
-        self._snapshot: Dict[str, np.ndarray] = {}
+        self._snapshot: Dict[str, np.ndarray] = {
+            name: moments.copy() for name, moments in _counters.items()
+            if self._pattern.fullmatch(name)}
 
     def update(self):
         for name, moments in _counters.items():
             if not self._pattern.fullmatch(name):
                 continue
             prev = self._snapshot.get(name, np.zeros(3))
-            self._deltas[name] = moments - prev
+            delta = moments - prev
+            if delta[0] == 0 and self._keep_previous and name in self._deltas:
+                continue                   # idle round: keep previous stats
+            self._deltas[name] = delta
             self._snapshot[name] = moments.copy()
 
     def names(self):

@@ -17,17 +17,28 @@ class TestStats:
         stats.reset()
 
     def test_report_and_collect(self):
+        c = stats.Collector()
         stats.report("loss", 1.0)
         stats.report("loss", 3.0)
-        c = stats.Collector()
         c.update()
         assert c.num("loss") == 2
         assert c.mean("loss") == 2.0
         assert c.std("loss") == pytest.approx(1.0)
 
-    def test_delta_semantics(self):
-        stats.report("x", [1.0, 2.0])
+    def test_construction_baseline_excludes_history(self):
+        # reference `Collector.__init__` runs update-then-clear
+        # (training_stats.py:134-139): pre-construction reports are
+        # baselined away, not surfaced by the first update()
+        stats.report("loss", 100.0)
         c = stats.Collector()
+        stats.report("loss", 2.0)
+        c.update()
+        assert c.num("loss") == 1
+        assert c.mean("loss") == 2.0
+
+    def test_delta_semantics(self):
+        c = stats.Collector()
+        stats.report("x", [1.0, 2.0])
         c.update()
         assert c.num("x") == 2
         stats.report("x", 5.0)
@@ -35,10 +46,46 @@ class TestStats:
         assert c.num("x") == 1          # only the new sample
         assert c.mean("x") == 5.0
 
+    def test_keep_previous_retains_stats_on_idle_rounds(self):
+        # training_stats.py:161-167: an update() that saw no new reports
+        # keeps the previous averages (the default), not NaN
+        c = stats.Collector()
+        stats.report("fid", 12.0)
+        c.update()
+        assert c.mean("fid") == 12.0
+        c.update()                       # idle round
+        assert c.mean("fid") == 12.0
+        c2_vals = stats.Collector(keep_previous=False)
+        stats.report("fid", 4.0)
+        c2_vals.update()
+        assert c2_vals.mean("fid") == 4.0
+
+    def test_psum_moments_cross_device_mean(self):
+        # psum of the MOMENT vector (training_stats.py:246-255): the
+        # recorded mean is the true cross-device mean, not device_count×it
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        n = jax.device_count()
+        vals = jnp.arange(1.0, n + 1.0)          # per-device value i+1
+
+        @partial(jax.pmap, axis_name="d")
+        def f(v):
+            return stats.psum_moments(v, "d")
+
+        moments = f(vals)[0]                     # replicated result
+        stats.report_moments("dloss", moments)
+        c = stats.Collector()
+        # collector baselined after report → re-report to surface it
+        stats.report_moments("dloss", moments)
+        c.update()
+        assert c.num("dloss") == n
+        assert c.mean("dloss") == pytest.approx((n + 1) / 2.0)
+
     def test_regex_filter(self):
+        c = stats.Collector(r"train/.*")
         stats.report("train/loss", 1.0)
         stats.report("valid/loss", 2.0)
-        c = stats.Collector(r"train/.*")
         c.update()
         assert c.names() == ["train/loss"]
 

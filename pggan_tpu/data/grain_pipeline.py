@@ -33,12 +33,15 @@ class GrainPipeline:
             else list(range(len(dataset)))
         if len(indices) < batch_size * num_replicas:
             reps = -(-batch_size * num_replicas // len(indices))
-            indices = (indices * reps)[:max(batch_size, len(indices) * reps)]
-        # Multi-host: static round-robin shard of the index list (each
-        # host shuffles and draws only its own subset); per-record seeds
-        # fold the rank so co-scheduled hosts never share jitter streams.
-        indices = indices[int(rank)::int(num_replicas)]
-        seed = (seed + 1_000_003 * int(rank)) % (2**31 - 1)
+            indices = indices * reps
+        # Multi-host: the shared-seed SHUFFLE runs over the full list and
+        # each rank takes every num_replicas-th element of the shuffled
+        # view (slice composes lazily and the per-epoch reshuffle flows
+        # through it) — DistributedSampler semantics, same as
+        # DataPipeline: disjoint per-epoch shards that migrate between
+        # ranks. Per-record augmentation seeds fold the rank.
+        rank, num_replicas = int(rank), int(num_replicas)
+        rec_base = (seed + 1 + 1_000_003 * rank) % (2**31 - 1)
 
         def load(args):
             index, rec_seed = args
@@ -47,10 +50,10 @@ class GrainPipeline:
 
         base = (
             grain.MapDataset.source(indices)
-            .seed(seed)
-            .shuffle()
+            .seed(seed)                                 # SHARED across ranks
+            .shuffle()[rank::num_replicas]
             .repeat()                                   # infinite epochs
-            .map_with_index(lambda i, idx: (idx, (seed * 1_000_003 + i)
+            .map_with_index(lambda i, idx: (idx, (rec_base * 48271 + i)
                                             % (2 ** 31 - 1)))
             .map(load)
             .batch(batch_size, drop_remainder=True)

@@ -121,10 +121,18 @@ class DataPipeline:
         # augmentation stream: per-rank, so co-scheduled hosts never
         # apply identical jitter to their (distinct) samples.
         rng_master = np.random.RandomState(self.seed)
+        # +1: rank 0's augmentation stream must not alias the shared
+        # permutation stream (identical seeds → identical MT words)
         rng_aug = np.random.RandomState(
-            (self.seed + 1_000_003 * self.rank) % (2**31 - 1))
+            (self.seed + 1 + 1_000_003 * self.rank) % (2**31 - 1))
         while not self._stop.is_set():
             order = rng_master.permutation(len(self.indices))
+            # equal-length shards (DistributedSampler drop_last parity,
+            # `lib/model.py:50-52`): an uneven split would let ranks
+            # advance epochs at different rates, pairing batches from
+            # different permutations and re-exposing the same image on
+            # two hosts in one global step
+            order = order[:len(order) - len(order) % self.num_replicas]
             order = order[self.rank::self.num_replicas]
             n_batches = len(order) // self.batch_size   # drop_last
             for b in range(max(n_batches, 1)):

@@ -26,6 +26,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 
+from pggan_tpu.ops.resample import bilinear_align_corners as _bilinear_align_corners
 from pggan_tpu.models.backbones import (_conv, _conv_init,
                                         init_irse_stem, init_irse_stages,
                                         irse_trunk_apply, _bn)
@@ -87,30 +88,6 @@ def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
         params["styles"].append(_gradual_style_block_init(
             jax.random.fold_in(rng, 100 + i), 512, style_dim, spatial))
     return params
-
-
-def _bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize with align_corners=True (corner-to-corner grid —
-    torch F.interpolate semantics; jax.image.resize only does half-pixel
-    centers, so this is hand-rolled as two separable 1-D lerps)."""
-    b, h, w, c = x.shape
-
-    def coords(out, size):
-        if out == 1 or size == 1:
-            return jnp.zeros((out,)), jnp.zeros((out,), jnp.int32), \
-                jnp.zeros((out,), jnp.int32)
-        src = jnp.arange(out) * ((size - 1) / (out - 1))
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, size - 1)
-        hi = jnp.minimum(lo + 1, size - 1)
-        return src - lo, lo, hi
-
-    fy, y0, y1 = coords(out_h, h)
-    fx, x0, x1 = coords(out_w, w)
-    x = x[:, y0] * (1.0 - fy)[None, :, None, None] + \
-        x[:, y1] * fy[None, :, None, None]
-    x = x[:, :, x0] * (1.0 - fx)[None, None, :, None] + \
-        x[:, :, x1] * fx[None, None, :, None]
-    return x
 
 
 def _up_add(deep, lateral):

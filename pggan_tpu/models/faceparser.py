@@ -121,5 +121,5 @@ def bisenet_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     # (`faceparser.py:206`) — only the ContextPath's internal merges are
     # nearest (`:158-167`); nearest here would give blocky 1/8-grid
     # boundaries and break torch parity for ported weights.
-    from pggan_tpu.models.e4e import _bilinear_align_corners
-    return _bilinear_align_corners(out, h, w)
+    from pggan_tpu.ops.resample import bilinear_align_corners
+    return bilinear_align_corners(out, h, w)

@@ -170,3 +170,29 @@ def downsample2d(x: jax.Array, f: Optional[jax.Array] = None, *, down: int = 2,
     py1 += (fh - downy) // 2
     return upfirdn2d(x, f, down=down, padding=(px0, px1, py0, py1),
                      flip_filter=flip_filter, gain=gain)
+
+
+def bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (corner-to-corner grid —
+    torch F.interpolate semantics; jax.image.resize only does half-pixel
+    centers, so this is hand-rolled as two separable 1-D lerps). Used by
+    the e4e FPN merge (`submodel/e4e.py:261-278`) and BiSeNet's final
+    logits upsample (`submodel/faceparser.py:206`)."""
+    b, h, w, c = x.shape
+
+    def coords(out, size):
+        if out == 1 or size == 1:
+            return jnp.zeros((out,)), jnp.zeros((out,), jnp.int32), \
+                jnp.zeros((out,), jnp.int32)
+        src = jnp.arange(out) * ((size - 1) / (out - 1))
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, size - 1)
+        hi = jnp.minimum(lo + 1, size - 1)
+        return src - lo, lo, hi
+
+    fy, y0, y1 = coords(out_h, h)
+    fx, x0, x1 = coords(out_w, w)
+    x = x[:, y0] * (1.0 - fy)[None, :, None, None] + \
+        x[:, y1] * fy[None, :, None, None]
+    x = x[:, :, x0] * (1.0 - fx)[None, None, :, None] + \
+        x[:, :, x1] * fx[None, None, :, None]
+    return x

@@ -405,9 +405,17 @@ class ProgressiveGANTrainer:
                 getattr(self._eval_ds, "resolution", None) != self.schedule.resolution:
             from pggan_tpu.data.dataset import ImageFolderDataset, SyntheticDataset
             if isinstance(self.dataset, ImageFolderDataset):
+                # Honor the run's cache policy — a second default-budget
+                # cache would double host memory (and ignore an explicit
+                # cache_decoded: false set to avoid exactly that).
+                cfg = self.cfg
                 self._eval_ds = ImageFolderDataset(
                     [], self.schedule.scale_index, augment=False,
-                    paths=self.dataset.paths)
+                    paths=self.dataset.paths,
+                    cache_decoded=(cfg["cache_decoded"]
+                                   if "cache_decoded" in cfg else "auto"),
+                    decode_cache_mb=(int(cfg["decode_cache_mb"])
+                                     if "decode_cache_mb" in cfg else 8192))
             else:
                 self._eval_ds = self.dataset      # synthetic: no augmentation
         return self._eval_ds
@@ -629,6 +637,15 @@ class ProgressiveGANTrainer:
             ema_loaded = ckpt_lib.load_checkpoint(
                 cfg.save_root, cfg.ckpt_id, "Gema", cfg.ckpt_step)
             if ema_loaded is not None:
+                ema_step = int(ema_loaded[2]["global_step"])
+                if ema_step != self.global_step:
+                    # same mixed-set hazard as the G/D check above: a kill
+                    # between D's and Gema's latest refresh must not
+                    # silently serve a stale EMA stream
+                    raise RuntimeError(
+                        f"Gema checkpoint step {ema_step} != G/D step "
+                        f"{self.global_step} — resume from an explicit "
+                        f"consistent step (--ckpt_step {ema_step})")
                 params_G_ema = ckpt_lib.arrays_to_tree(params_G,
                                                        ema_loaded[0])
             else:               # EMA turned on mid-run: seed from params

@@ -106,6 +106,51 @@ class TestDataPipelineRankSharding:
         seeds1 = [s for _, s in draws[1]]
         assert seeds0 != seeds1                # per-rank jitter streams
 
+    def test_uneven_dataset_keeps_ranks_epoch_aligned(self):
+        """len % num_replicas != 0: the permutation is truncated to equal
+        per-rank shards (drop_last parity) so ranks advance epochs in
+        lockstep — an uneven split would pair batches from different
+        permutations and re-expose an image on two hosts in one step."""
+        from pggan_tpu.data.pipeline import DataPipeline
+        n, bs, R = 35, 8, 2                  # 35 → truncate to 34 → 17/17
+        per_rank_batches = 2                  # 17//8 = 2 per epoch per rank
+        draws = {}
+        for rank in (0, 1):
+            ds = _RecordingDataset(n)
+            pipe = DataPipeline(ds, bs, num_workers=1, prefetch_depth=1,
+                                seed=5, rank=rank, num_replicas=R)
+            it = iter(pipe)
+            for _ in range(per_rank_batches):
+                next(it)
+            pipe.close()
+            draws[rank] = [i for i, _ in ds.calls[:per_rank_batches * bs]]
+        assert set(draws[0]).isdisjoint(set(draws[1]))
+        assert len(draws[0]) == len(draws[1]) == per_rank_batches * bs
+
+    def test_grain_ranks_draw_disjoint_migrating_shards(self):
+        """Grain backend: shared-seed shuffle + lazy slice — disjoint
+        per-epoch shards that MIGRATE between ranks across epochs
+        (DistributedSampler semantics, not a static split)."""
+        pytest.importorskip("grain")
+        from pggan_tpu.data.grain_pipeline import GrainPipeline
+        n, bs = 16, 8
+        epochs = {}
+        for rank in (0, 1):
+            ds = _RecordingDataset(n)
+            pipe = GrainPipeline(ds, bs, num_workers=1, prefetch_depth=1,
+                                 seed=11, rank=rank, num_replicas=2)
+            it = iter(pipe)
+            next(it)                           # epoch 0 (8 = n/2 per rank)
+            next(it)                           # epoch 1
+            pipe.close()
+            calls = [i for i, _ in ds.calls[:2 * bs]]
+            epochs[rank] = (set(calls[:bs]), set(calls[bs:2 * bs]))
+        for e in (0, 1):
+            assert epochs[0][e].isdisjoint(epochs[1][e])
+            assert epochs[0][e] | epochs[1][e] == set(range(n))
+        # migration: epoch 1's rank-0 shard differs from epoch 0's
+        assert epochs[0][0] != epochs[0][1]
+
 
 class TestAllProcessEvalHooks:
     def test_validation_runs_on_non_master(self, tmp_path, monkeypatch):

@@ -206,6 +206,23 @@ class TestUpfirdn2d:
         assert g.shape == x.shape
 
 
+class TestLreluImpls:
+    def test_abs_probe_form_matches_where(self, monkeypatch):
+        """The PGGAN_LRELU_IMPL=abs probe (a·x + b·|x|) is value- and
+        grad-exact vs the where form away from 0 (at 0 both give 0; the
+        subgradient differs only on a measure-zero set)."""
+        from pggan_tpu.ops import basic
+        x = jnp.asarray(rand(4, 8) * 2.0 - 1.0)
+        want = np.asarray(leaky_relu(x, 0.2))
+        gwant = np.asarray(jax.grad(lambda v: jnp.sum(leaky_relu(v, 0.2)))(x))
+        monkeypatch.setattr(basic, "_LRELU_IMPL", "abs")
+        got = np.asarray(basic.leaky_relu(x, 0.2))
+        ggot = np.asarray(jax.grad(
+            lambda v: jnp.sum(basic.leaky_relu(v, 0.2)))(x))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(ggot, gwant, rtol=1e-6, atol=1e-7)
+
+
 class TestFilter2d:
     @staticmethod
     def np_filter2d(x, f):

@@ -94,15 +94,28 @@ class TestConv2dResample:
         assert out.shape == (1, 8, 8, 2)
 
     def test_flip_weight_semantics(self):
+        """Independent numpy oracle (not self-consistency — a globally
+        inverted flip_weight satisfies corr(x, flip(w)) == conv(x, w)):
+        flip_weight=True is CORRELATION (`conv2d_resample.py:54`,
+        the torch-conv2d fast path), False is convolution."""
         x = rand(1, 5, 5, 1, seed=5)
         w = rand(3, 3, 1, 1, seed=6)
-        corr = conv2d_resample(x, w, padding=1, flip_weight=True)
-        conv = conv2d_resample(x, w, padding=1, flip_weight=False)
-        want = conv2d_resample(x, jnp.flip(w, axis=(0, 1)), padding=1,
-                               flip_weight=True)
-        np.testing.assert_allclose(np.asarray(conv), np.asarray(want),
+        corr = np.asarray(conv2d_resample(x, w, padding=1, flip_weight=True))
+        conv = np.asarray(conv2d_resample(x, w, padding=1, flip_weight=False))
+
+        xp = np.pad(np.asarray(x)[0, :, :, 0], 1)
+        k = np.asarray(w)[:, :, 0, 0]
+        want_corr = np.zeros((5, 5))
+        want_conv = np.zeros((5, 5))
+        for i in range(5):
+            for j in range(5):
+                win = xp[i:i + 3, j:j + 3]
+                want_corr[i, j] = (win * k).sum()
+                want_conv[i, j] = (win * k[::-1, ::-1]).sum()
+        np.testing.assert_allclose(corr[0, :, :, 0], want_corr,
                                    rtol=1e-5, atol=1e-5)
-        assert not np.allclose(np.asarray(corr), np.asarray(conv))
+        np.testing.assert_allclose(conv[0, :, :, 0], want_conv,
+                                   rtol=1e-5, atol=1e-5)
 
 
 class TestGridSample:

@@ -44,7 +44,10 @@ class TestExportRoundTrip:
                                                   batch=4))
         z_ok = jnp.zeros((4, 32))
         assert exported.call(z_ok).shape == (4, 8, 8, 3)
-        with pytest.raises(Exception):
+        # match the rejection REASON (a shape/dim mismatch) — a bare
+        # Exception would also pass if the call path itself were broken
+        with pytest.raises(Exception,
+                           match=r"(?i)shape|dimension|rank|incompatible"):
             exported.call(jnp.zeros((2, 32)))
 
     def test_alpha_is_baked(self):

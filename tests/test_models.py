@@ -43,6 +43,10 @@ class TestGenerator:
         grown = init_generator_params(rng, latent_dim=LATENT, depths=DEPTHS, scale=0)
         grown = grow_generator_params(grown, rng, depths=DEPTHS)
         grown = grow_generator_params(grown, rng, depths=DEPTHS)
+        # structure equality FIRST: zip truncates silently, and the
+        # growth-appended leaves (torgb/fromrgb heads) sort LAST in
+        # traversal order — a grow bug dropping them would pass a bare zip
+        assert (jax.tree.structure(fresh) == jax.tree.structure(grown))
         for a, b in zip(jax.tree.leaves(fresh), jax.tree.leaves(grown)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -114,6 +118,10 @@ class TestDiscriminator:
         grown = init_discriminator_params(rng, depths=DEPTHS, scale=0)
         grown = grow_discriminator_params(grown, rng, depths=DEPTHS)
         grown = grow_discriminator_params(grown, rng, depths=DEPTHS)
+        # structure equality FIRST: zip truncates silently, and the
+        # growth-appended leaves (torgb/fromrgb heads) sort LAST in
+        # traversal order — a grow bug dropping them would pass a bare zip
+        assert (jax.tree.structure(fresh) == jax.tree.structure(grown))
         for a, b in zip(jax.tree.leaves(fresh), jax.tree.leaves(grown)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -50,6 +50,30 @@ class TestShardingBranches:
         sharded = shard_batch(batch, mesh)
         np.testing.assert_array_equal(local_numpy(sharded), batch)
 
+    def test_local_numpy_partial_addressable_concat(self):
+        """True multi-host shape: only SOME shards addressable, delivered
+        out of order — local_numpy must sort by leading index and concat
+        exactly the addressable rows (single-process stub; a real
+        partially-addressable jax.Array can't be built in one process)."""
+
+        class _Shard:
+            def __init__(self, start, data):
+                self.index = (slice(start, start + data.shape[0]),)
+                self.data = data
+
+        class _FakeGlobal:
+            def __init__(self, shards, global_shape):
+                self.addressable_shards = shards
+                self.shape = global_shape
+
+        full = np.arange(16 * 2 * 3, dtype=np.float32).reshape(16, 2, 3)
+        # this host owns rows 4:8 and 0:4 (listed OUT of order) of a
+        # 16-row global batch
+        fake = _FakeGlobal([_Shard(4, full[4:8]), _Shard(0, full[0:4])],
+                           (16, 2, 3))
+        got = local_numpy(fake)
+        np.testing.assert_array_equal(got, full[0:8])
+
 
 def smoke_cfg(tmp_path, **over):
     return Config({

@@ -132,22 +132,30 @@ class TestDatasetIntegration:
         assert a.shape == b.shape
         assert np.mean(np.abs(a - b)) < 6.0
 
-    def test_native_faster_than_pil(self, image_files):
-        # throughput sanity at 256x256 output — native should not lose
+    def test_native_not_slower_than_pil(self, image_files):
+        """Decode+resize+augment throughput at 256² output, decode cache
+        OFF so the native decode path is actually measured (with the
+        cache both loaders would just time jitter). Bound: native must
+        beat PIL outright with margin — it loses its reason to exist
+        otherwise. (Name says what is asserted: NOT slower; absolute
+        speedups vary with image size/codec.)"""
         from pggan_tpu.data import ImageFolderDataset
         root = os.path.dirname(image_files["jpg"])
-        ds_n = ImageFolderDataset([root], 6, use_native=True)
-        ds_p = ImageFolderDataset([root], 6, use_native=False)
+        ds_n = ImageFolderDataset([root], 6, use_native=True,
+                                  cache_decoded=False)
+        ds_p = ImageFolderDataset([root], 6, use_native=False,
+                                  cache_decoded=False)
+        assert ds_n._cache is None and ds_p._cache is None
         rng = np.random.RandomState(0)
-        for ds in (ds_n, ds_p):          # warm caches
+        for ds in (ds_n, ds_p):          # warm libjpeg/PIL init
             ds.get(0, rng)
+        reps = 40
         t0 = time.time()
-        for i in range(20):
+        for i in range(reps):
             ds_n.get(i, np.random.RandomState(i))
         t_native = time.time() - t0
         t0 = time.time()
-        for i in range(20):
+        for i in range(reps):
             ds_p.get(i, np.random.RandomState(i))
         t_pil = time.time() - t0
-        # allow generous slack; this guards order-of-magnitude regressions
-        assert t_native < t_pil * 3
+        assert t_native < t_pil * 1.2, (t_native, t_pil)

@@ -273,7 +273,7 @@ class TestBlend:
         small = 1.0 / 600.0
         out0 = np.asarray(blend(a, b, jnp.float32(0.0)), np.float32)
         out1 = np.asarray(blend(a, b, jnp.float32(small)), np.float32)
-        assert out0.dtype == np.float32 and blend(a, b, 0.0).dtype == jnp.bfloat16
+        assert blend(a, b, 0.0).dtype == jnp.bfloat16   # output stays bf16
         # alpha=1/600 moves the blend: (1-2a) = 0.99667 → bf16 0.99609
         assert out1[0, 0] < out0[0, 0]
         expected = np.float32(np.asarray(

@@ -76,11 +76,16 @@ class TestStepSemantics:
         fn = make_train_step(cfg, 1, og, od)
         img = batch(8, 8)
         _, _, (real_faded, _) = fn(state, img, jnp.float32(0.0))
-        rf = np.asarray(real_faded)
-        # 2x2 blocks must be constant (nearest-up of avg-down)
-        blocks = rf.reshape(8, 4, 2, 4, 2, 3)
-        np.testing.assert_allclose(blocks[:, :, 0, :, 0], blocks[:, :, 1, :, 1],
-                                   rtol=1e-5, atol=1e-5)
+        rf = np.asarray(real_faded, np.float32)
+        # exact expected values (`pggan/model.py:217-221`): at alpha=0 the
+        # reals are fully low-passed — nearest-up of the 2×2 average of
+        # the normalized image. An independent numpy oracle (not the
+        # repo's ops): decimation instead of averaging, or a wrong
+        # normalization, must fail here.
+        norm = np.asarray(img, np.float32) / 127.5 - 1.0
+        low = norm.reshape(8, 4, 2, 4, 2, 3).mean(axis=(2, 4))
+        want = np.repeat(np.repeat(low, 2, axis=1), 2, axis=2)
+        np.testing.assert_allclose(rf, want, rtol=1e-4, atol=1e-5)
 
     def test_no_fade_at_scale0(self):
         cfg = base_cfg()
@@ -214,7 +219,7 @@ class TestDataParallel:
         fn = make_train_step(cfg, 0, og, od)
         img = batch(16, 4)
 
-        _, m_single, _ = fn(state, img, jnp.float32(0.0))
+        new_single, m_single, _ = fn(state, img, jnp.float32(0.0))
 
         mesh = create_mesh(devices=jax.devices())
         assert mesh.size == 8
@@ -226,6 +231,20 @@ class TestDataParallel:
                                    rtol=2e-4)
         np.testing.assert_allclose(float(m_single["L_G"]), float(m_dp["L_G"]),
                                    rtol=2e-4)
+        # The UPDATED parameters must match too — losses above are
+        # computed pre-update, so a gradient-sync/update bug (grads
+        # scaled by device count, the reference DDP's failure class)
+        # would leave them identical; the post-Adam params catch it.
+        for which in ("params_G", "params_D"):
+            leaves_s = jax.tree_util.tree_leaves_with_path(
+                getattr(new_single, which))
+            leaves_d = jax.tree_util.tree_leaves_with_path(
+                getattr(new_state, which))
+            assert [k for k, _ in leaves_s] == [k for k, _ in leaves_d]
+            for (kp, a), (_, b) in zip(leaves_s, leaves_d):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5,
+                    err_msg=f"{which}{jax.tree_util.keystr(kp)}")
 
     def test_params_stay_replicated_after_step(self):
         cfg = base_cfg()

@@ -23,6 +23,9 @@ _DEFAULTS: Dict[str, Any] = {
     "wandb_alert_thres": 1000,
     "use_validation": False,
     "valid_dataset_root": None,
+    # held-out batches averaged per validation() call (real+fake D logits
+    # and adversarial losses; see trainer.validation)
+    "val_batches": 4,
     "dataset_root_list": [],
     "save_root": "train_result",
     # optimizer
@@ -109,6 +112,11 @@ _DEFAULTS: Dict[str, Any] = {
     #   'auto': quarter-res dense conv w/ 4·C_out groups on lane-bound
     #     blocks (cout < 128) | True: same, all blocks | False: unfused
     "fused_scale": "dilated",
+    # space-to-depth packed execution of D's top level (ops/packed.py):
+    # kills the XLA layout-copy pathology at huge-spatial × tiny-channel
+    # shapes. 'auto' packs when the top resolution ≥ 512 AND its depth
+    # ≤ 64; True forces it (needs scale ≥ 1); False disables.
+    "hires_pack": "auto",
     # periodic FID evaluation: every fid_cycle steps compare fid_samples
     # generated images against held-out reals (0 = off). Uses the
     # deterministic random-conv feature extractor (metrics/fid.py) —
@@ -154,9 +162,29 @@ class Config:
     # -- construction -------------------------------------------------------
     @staticmethod
     def from_yaml(path: str) -> "Config":
+        """Load a yaml config with provenance-aware explicitness.
+
+        Only yaml keys whose value DIFFERS from the package default (or
+        that the defaults table doesn't know) count as user intent for
+        checkpoint-resume overrides. The distinction matters because
+        train.py defaults to `--config configs.yaml`, whose base file
+        sets essentially every key: if every yaml key were 'explicit',
+        `preserve_keys` in load_checkpoint would cover the whole snapshot
+        and resuming under a different config would silently re-apply the
+        current yaml's schedule/lr/loss_mode instead of deferring to the
+        snapshot (`lib/model_loader.py:26-31` parity: defaults defer).
+        A key deliberately set *back to* its default value in yaml is
+        treated as default — pass it on the CLI to force the override.
+        """
         with open(path, "r") as stream:
             raw = yaml.safe_load(stream) or {}
-        return Config(raw)
+        cfg = Config()
+        cfg.set_attribute(raw, explicit=False)
+        _SENTINEL = object()
+        for key, value in raw.items():
+            if value != _DEFAULTS.get(key, _SENTINEL):
+                cfg._explicit.add(key)
+        return cfg
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "Config":
@@ -200,13 +228,15 @@ class Config:
     def __setattr__(self, key, value):
         self.set_attribute({key: value})
 
-    def set_attribute(self, dict_config: Dict[str, Any]):
+    def set_attribute(self, dict_config: Dict[str, Any], *,
+                      explicit: bool = True):
         for key, value in dict_config.items():
             if isinstance(value, dict):
                 self._store[key] = Config(value, use_defaults=False)
             else:
                 self._store[key] = value
-            self._explicit.add(key)
+            if explicit:
+                self._explicit.add(key)
 
     def explicit_keys(self):
         """Top-level keys explicitly set by the user (not defaults, not

@@ -36,12 +36,18 @@ class GrainPipeline:
             indices = indices * reps
         # Multi-host: the shared-seed SHUFFLE runs over the full list and
         # each rank takes every num_replicas-th element of the shuffled
-        # view (slice composes lazily and the per-epoch reshuffle flows
-        # through it) — DistributedSampler semantics, same as
+        # view (slices compose lazily and the per-epoch reshuffle flows
+        # through them) — DistributedSampler semantics, same as
         # DataPipeline: disjoint per-epoch shards that migrate between
-        # ranks. Per-record augmentation seeds fold the rank.
+        # ranks. The shuffled view is first TRUNCATED to a multiple of
+        # num_replicas (drop_last parity with DataPipeline._producer):
+        # without it, len % R leftover items give some ranks longer
+        # epochs, ranks drift out of epoch alignment, and the same image
+        # can be drawn on two hosts in one global step. Per-record
+        # augmentation seeds fold the rank.
         rank, num_replicas = int(rank), int(num_replicas)
         rec_base = (seed + 1 + 1_000_003 * rank) % (2**31 - 1)
+        n_even = len(indices) - len(indices) % num_replicas
 
         def load(args):
             index, rec_seed = args
@@ -51,7 +57,7 @@ class GrainPipeline:
         base = (
             grain.MapDataset.source(indices)
             .seed(seed)                                 # SHARED across ranks
-            .shuffle()[rank::num_replicas]
+            .shuffle()[:n_even][rank::num_replicas]
             .repeat()                                   # infinite epochs
             .map_with_index(lambda i, idx: (idx, (rec_base * 48271 + i)
                                             % (2 ** 31 - 1)))

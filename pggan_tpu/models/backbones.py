@@ -21,10 +21,16 @@ import jax.numpy as jnp
 
 
 
-def _conv_init(rng, cin, cout, k):
+def _conv_init(rng, cin, cout, k, *, bias=False):
     fan_in = cin * k * k
     w = jax.random.normal(rng, (k, k, cin, cout)) * math.sqrt(2.0 / fan_in)
-    return {"w": w}
+    if not bias:
+        return {"w": w}
+    # torch nn.Conv2d default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    bound = 1.0 / math.sqrt(fan_in)
+    b = jax.random.uniform(jax.random.fold_in(rng, 0xB1A5), (cout,),
+                           minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
 
 
 def _bn_init(c):
@@ -38,10 +44,11 @@ def _conv(p, x, stride=1):
     # shifts every stride-2 window by one pixel vs the torch reference —
     # weight-ported backbones would silently diverge.
     kh, kw = p["w"].shape[0], p["w"].shape[1]
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x, p["w"], (stride, stride),
         ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"] if "b" in p else y
 
 
 def _bn(p, x, eps=1e-5):

@@ -40,7 +40,10 @@ def _gradual_style_block_init(rng, in_ch, style_dim, spatial):
     convs = []
     c = in_ch
     for i in range(num_pools):
-        convs.append(_conv_init(jax.random.fold_in(rng, i), c, style_dim, 3))
+        # torch-default bias=True convs (`e4e.py:124-131`) — real e4e
+        # checkpoints carry `.bias` tensors for every style-block conv
+        convs.append(_conv_init(jax.random.fold_in(rng, i), c, style_dim, 3,
+                                bias=True))
         c = style_dim
     k = jax.random.fold_in(rng, 99)
     # EqualLinear (`e4e.py:85-114`): weight ~ N(0,1)/lr_mul, runtime scale
@@ -75,8 +78,11 @@ def init_e4e_encoder(rng: jax.Array, *, n_styles: int = 18,
         "stem": init_irse_stem(jax.random.fold_in(rng, 0), input_dim),
         "stages": init_irse_stages(jax.random.fold_in(rng, 1),
                                    num_layers=num_layers),
-        "latlayer1": _conv_init(jax.random.fold_in(rng, 4), 256, 512, 1),
-        "latlayer2": _conv_init(jax.random.fold_in(rng, 5), 128, 512, 1),
+        # FPN laterals are torch-default bias=True (`e4e.py:218-219`)
+        "latlayer1": _conv_init(jax.random.fold_in(rng, 4), 256, 512, 1,
+                                bias=True),
+        "latlayer2": _conv_init(jax.random.fold_in(rng, 5), 128, 512, 1,
+                                bias=True),
         # coarse/middle/fine split is encoded structurally in each style
         # block's pooling depth (len(convs) = 4/5/6) — pytree leaves must
         # all be arrays so checkpoints round-trip
@@ -129,3 +135,83 @@ def e4e_encoder_apply(params: Dict[str, Any], x: jax.Array,
         # slot just repeats w0
         latents.append(w0 + delta if i <= stage else w0)
     return jnp.stack(latents, axis=1)
+
+
+def convert_e4e_state_dict(sd, *, num_layers: int = 50, n_styles: int = 18,
+                           style_dim: int = 512):
+    """torch `Encoder4Editing.state_dict()` → flat path dict loadable via
+    `arrays_to_tree(init_e4e_encoder(...), out, strict=True)`.
+
+    Covers the full reference module tree (`e4e.py:185-259`):
+    `input_layer.{0,1,2}` (conv/BN/PReLU), `body.{i}.res_layer.{0..5}` +
+    `body.{i}.shortcut_layer.{0,1}` (bottleneck_IR_SE, `e4e.py:159-183`),
+    `styles.{i}.convs.{2j}` + `styles.{i}.linear` (GradualStyleBlock with
+    torch-default conv biases, `e4e.py:117-139`), `latlayer1/2`
+    (`e4e.py:218-219`). Conv weights transpose OIHW→HWIO; SE 1×1 convs and
+    EqualLinear become [in,out] matrices; the linear's runtime `scale`
+    leaf (no torch counterpart — it is StyleGAN's 1/√in constant) is
+    synthesized. `num_batches_tracked` buffers are dropped.
+    """
+    import numpy as np
+    from pggan_tpu.models.backbones import _IRSE_STAGES
+
+    def conv_w(key):
+        return np.transpose(np.asarray(sd[key]), (2, 3, 1, 0))   # OIHW→HWIO
+
+    def bn(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"]),
+                "mean": np.asarray(sd[prefix + ".running_mean"]),
+                "var": np.asarray(sd[prefix + ".running_var"])}
+
+    out = {}
+
+    def put(path, value):
+        out[path] = np.asarray(value)
+
+    def put_bn(path, prefix):
+        for k, v in bn(prefix).items():
+            put(f"{path}/{k}", v)
+
+    put("stem/w", conv_w("input_layer.0.weight"))
+    put_bn("stem/bn", "input_layer.1")
+    put("stem/prelu", sd["input_layer.2.weight"])
+
+    flat = 0
+    c_in = 64
+    for s, (width, count) in enumerate(_IRSE_STAGES[num_layers]):
+        for b in range(count):
+            p = f"stages/{s}/{b}"
+            t = f"body.{flat}"
+            put_bn(f"{p}/bn0", f"{t}.res_layer.0")
+            put(f"{p}/conv1/w", conv_w(f"{t}.res_layer.1.weight"))
+            put(f"{p}/prelu", sd[f"{t}.res_layer.2.weight"])
+            put(f"{p}/conv2/w", conv_w(f"{t}.res_layer.3.weight"))
+            put_bn(f"{p}/bn2", f"{t}.res_layer.4")
+            # SE 1×1 convs act on the pooled vector: out[o]=Σᵢ W[o,i]x[i]
+            # ≡ x @ W.T with my `se @ w` convention
+            put(f"{p}/se_fc1/w",
+                np.asarray(sd[f"{t}.res_layer.5.fc1.weight"])[:, :, 0, 0].T)
+            put(f"{p}/se_fc2/w",
+                np.asarray(sd[f"{t}.res_layer.5.fc2.weight"])[:, :, 0, 0].T)
+            if c_in != width:
+                put(f"{p}/down/w", conv_w(f"{t}.shortcut_layer.0.weight"))
+                put_bn(f"{p}/down_bn", f"{t}.shortcut_layer.1")
+            flat += 1
+            c_in = width
+
+    for name in ("latlayer1", "latlayer2"):
+        put(f"{name}/w", conv_w(f"{name}.weight"))
+        put(f"{name}/b", sd[f"{name}.bias"])
+
+    for i in range(n_styles):
+        j = 0
+        while f"styles.{i}.convs.{2 * j}.weight" in sd:
+            put(f"styles/{i}/convs/{j}/w",
+                conv_w(f"styles.{i}.convs.{2 * j}.weight"))
+            put(f"styles/{i}/convs/{j}/b", sd[f"styles.{i}.convs.{2 * j}.bias"])
+            j += 1
+        put(f"styles/{i}/linear/w", np.asarray(sd[f"styles.{i}.linear.weight"]).T)
+        put(f"styles/{i}/linear/b", sd[f"styles.{i}.linear.bias"])
+        put(f"styles/{i}/linear/scale", np.float64(1.0 / math.sqrt(style_dim)))
+    return out

@@ -25,7 +25,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# A/B probe hook for layout-copy pressure at high res (see BASELINE.md);
+# it swaps the lrelu formulation for the WHOLE process — including golden-
+# parity and second-order surfaces — so an invalid value must fail loudly
+# here rather than silently fall through to one of the branches.
 _LRELU_IMPL = os.environ.get("PGGAN_LRELU_IMPL", "where")
+if _LRELU_IMPL not in ("where", "abs"):
+    raise ValueError(
+        f"PGGAN_LRELU_IMPL={_LRELU_IMPL!r} — must be 'where' (default, "
+        f"production) or 'abs' (a·x+b·|x| benchmark probe)")
 
 
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:

@@ -88,6 +88,7 @@ class ProgressiveGANTrainer:
                                              thread_name_prefix="pggan-ckpt")
         self._ckpt_future = None
         self._fid_sampler = None
+        self._val_fn = None
         self._fid_extractor_cache = None
         self._eval_ds = None
         self._rate_anchor = None        # (time, step) for imgs_per_sec
@@ -158,6 +159,7 @@ class ProgressiveGANTrainer:
                                  ema=self._ema_enabled)
         self.state = replicate(state, self.mesh)
         self._fid_sampler = None        # new pytree structure → new program
+        self._val_fn = None
         self._eval_ds = None
         self._rate_anchor = None        # per-scale batch may change
 
@@ -370,16 +372,24 @@ class ProgressiveGANTrainer:
                         [local_numpy(real), local_numpy(fake)])
 
     def validation(self, step: int):
-        """Mean D logits on a held-out batch — the reference declares a
+        """Multi-batch held-out evaluation — the reference declares a
         validation split then leaves `validation()` as `pass`
-        (`pggan/model.py:260-261`); this makes it real.
+        (`pggan/model.py:260-261`); this makes it real: `val_batches`
+        held-out batches through D (real side), a matched number of
+        fixed-seed generator samples through D (fake side), and the
+        adversarial losses on those logits, averaged and logged as
+        `val_*` metrics (the legacy `valid_D_real` name is kept as an
+        alias). Training-only regularizers (R1 / GP / drift) are excluded
+        — they measure gradient geometry, not held-out fit.
 
-        Multi-host: every process calls this (fit does); the batch is
-        globally sharded via the pipeline's shard_fn and the eval executes
-        SPMD, so the mean logit is replicated — only the master logs it.
+        Multi-host: every process calls this (fit does); real batches are
+        globally sharded via the pipeline's shard_fn, latents are
+        fixed-seed (process-identical), and the jitted eval executes SPMD,
+        so the scalar means come out replicated — only the master logs.
         """
         if self._valid_indices is None or len(self._valid_indices) == 0:
             return
+        cfg = self.cfg
         if self._valid_pipeline is None:
             self._valid_pipeline = DataPipeline(
                 self.dataset, self.local_batch_size,
@@ -387,16 +397,62 @@ class ProgressiveGANTrainer:
                 prefetch_depth=1, seed=7,
                 shard_fn=lambda b: shard_batch(b, self.mesh),
                 rank=jax.process_index(), num_replicas=jax.process_count())
-        batch = next(self._valid_pipeline)
-        from pggan_tpu.models import discriminator_apply
-        logits = discriminator_apply(
-            self.state.params_D,
-            jnp.asarray(batch, jnp.float32) / 127.5 - 1.0,
-            jnp.float32(self.schedule.alpha),
-            slope=float(self.cfg.LReLU_slope),
-            apply_minibatch_norm=bool(self.cfg.apply_minibatch_norm))
+        if self._val_fn is None:    # cached per scale (_fresh_state resets)
+            from pggan_tpu.models import discriminator_apply, generator_apply
+            from pggan_tpu.losses.gan import bce_with_logits, generator_loss
+            compute_dtype = (jnp.bfloat16
+                             if str(cfg.compute_dtype) == "bfloat16"
+                             else jnp.float32)
+            d_kw = dict(slope=float(cfg.LReLU_slope),
+                        apply_minibatch_norm=bool(cfg.apply_minibatch_norm),
+                        compute_dtype=compute_dtype)
+            g_kw = dict(slope=float(cfg.LReLU_slope),
+                        apply_pixel_norm=bool(cfg.apply_pixel_norm),
+                        last_activation=cfg.generator_last_activation,
+                        fused_scale=cfg.fused_scale,
+                        compute_dtype=compute_dtype)
+            w_adv = float(cfg.W_adv)
+
+            def _eval(params_G, params_D, real, z, alpha):
+                logit_real = discriminator_apply(params_D, real, alpha,
+                                                 **d_kw)
+                fake = generator_apply(params_G, z, alpha, **g_kw)
+                logit_fake = discriminator_apply(params_D, fake, alpha,
+                                                 **d_kw)
+                # both loss modes use BCE adversarial terms
+                # (pggan/loss.py:16-27, 54-66)
+                l_d = (bce_with_logits(logit_real, 1)
+                       + bce_with_logits(logit_fake, 0))
+                l_g = generator_loss(logit_fake, w_adv)
+                return (jnp.mean(logit_real.astype(jnp.float32)),
+                        jnp.mean(logit_fake.astype(jnp.float32)), l_d, l_g)
+
+            self._val_fn = jax.jit(_eval)
+        n_batches = max(1, int(cfg["val_batches"])
+                        if "val_batches" in cfg else 4)
+        alpha = jnp.float32(self.schedule.alpha)
+        # fixed eval latent stream: val curves stay comparable across
+        # calls/resumes (folded per scale so fakes match the current res)
+        base = jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed) + 999),
+                                  self.schedule.scale_index)
+        totals = np.zeros(4, np.float64)
+        for b in range(n_batches):
+            batch = next(self._valid_pipeline)
+            real = jnp.asarray(batch, jnp.float32) / 127.5 - 1.0
+            z = jax.random.normal(jax.random.fold_in(base, b),
+                                  (real.shape[0], int(cfg.latent_dim)))
+            out = self._val_fn(self.state.params_G, self.state.params_D,
+                               real, z, alpha)
+            totals += np.asarray(jax.device_get(out), np.float64)
+        totals /= n_batches
         if self.logger is not None:
-            self.logger.log(step, {"valid_D_real": float(jnp.mean(logits))})
+            self.logger.log(step, {
+                "val_D_real": float(totals[0]),
+                "val_D_fake": float(totals[1]),
+                "val_L_D": float(totals[2]),
+                "val_L_G": float(totals[3]),
+                "valid_D_real": float(totals[0]),       # legacy alias
+            })
 
     def _eval_dataset(self):
         """Un-augmented twin of the training dataset (FID reals must not be

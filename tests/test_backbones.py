@@ -347,3 +347,109 @@ class TestIRSE:
         counts = [len(s) for s in p["stages"]]
         want = {50: [3, 4, 14, 3], 100: [3, 13, 30, 3], 152: [3, 8, 36, 3]}[layers]
         assert counts == want
+
+
+class TestE4EWeightPortability:
+    """Real e4e checkpoints (torch Encoder4Editing state_dicts with
+    bias=True style-block convs and FPN laterals, e4e.py:124-131,218-219)
+    must map LOSSLESSLY: convert_e4e_state_dict + arrays_to_tree(strict=True)
+    with every torch tensor landing in a slot."""
+
+    @staticmethod
+    def _synthetic_torch_sd(rs, n_styles=18):
+        """Exact key/shape surface of Encoder4Editing(50, 'ir_se').state_dict()."""
+        sd = {}
+
+        def t(key, *shape):
+            sd[key] = rs.randn(*shape).astype(np.float32) * 0.1
+
+        def bn(prefix, c):
+            t(prefix + ".weight", c)
+            t(prefix + ".bias", c)
+            t(prefix + ".running_mean", c)
+            sd[prefix + ".running_var"] = \
+                (1.0 + 0.1 * rs.rand(c)).astype(np.float32)
+            sd[prefix + ".num_batches_tracked"] = np.asarray(7, np.int64)
+
+        t("input_layer.0.weight", 64, 3, 3, 3)
+        bn("input_layer.1", 64)
+        t("input_layer.2.weight", 64)
+        flat, c_in = 0, 64
+        for width, count in [(64, 3), (128, 4), (256, 14), (512, 3)]:
+            for _ in range(count):
+                p = f"body.{flat}"
+                if c_in != width:
+                    t(p + ".shortcut_layer.0.weight", width, c_in, 1, 1)
+                    bn(p + ".shortcut_layer.1", width)
+                bn(p + ".res_layer.0", c_in)
+                t(p + ".res_layer.1.weight", width, c_in, 3, 3)
+                t(p + ".res_layer.2.weight", width)
+                t(p + ".res_layer.3.weight", width, width, 3, 3)
+                bn(p + ".res_layer.4", width)
+                t(p + ".res_layer.5.fc1.weight", width // 16, width, 1, 1)
+                t(p + ".res_layer.5.fc2.weight", width, width // 16, 1, 1)
+                flat, c_in = flat + 1, width
+        for i in range(n_styles):
+            spatial = 16 if i < 3 else (32 if i < 7 else 64)
+            for j in range(int(np.log2(spatial))):
+                t(f"styles.{i}.convs.{2 * j}.weight", 512, 512, 3, 3)
+                t(f"styles.{i}.convs.{2 * j}.bias", 512)
+            t(f"styles.{i}.linear.weight", 512, 512)
+            t(f"styles.{i}.linear.bias", 512)
+        t("latlayer1.weight", 512, 256, 1, 1)
+        t("latlayer1.bias", 512)
+        t("latlayer2.weight", 512, 128, 1, 1)
+        t("latlayer2.bias", 512)
+        return sd
+
+    def test_strict_round_trip(self):
+        from pggan_tpu.models.e4e import (init_e4e_encoder,
+                                          convert_e4e_state_dict)
+        from pggan_tpu.utils import checkpoint as ckpt_lib
+        rs = np.random.RandomState(0)
+        sd = self._synthetic_torch_sd(rs)
+        template = init_e4e_encoder(jax.random.PRNGKey(0), n_styles=18)
+        converted = convert_e4e_state_dict(sd)
+        # every non-buffer torch tensor must land in exactly one slot
+        n_buffers = sum(1 for k in sd if k.endswith("num_batches_tracked"))
+        assert len(converted) == len(sd) - n_buffers + 18  # +18 scale leaves
+        loaded = ckpt_lib.arrays_to_tree(template, converted, strict=True)
+        # spot-check the layout transforms survived the trip
+        np.testing.assert_allclose(
+            np.asarray(loaded["latlayer1"]["b"]), sd["latlayer1.bias"],
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(loaded["stages"][1][0]["down"]["w"])[0, 0],
+            sd["body.3.shortcut_layer.0.weight"][:, :, 0, 0].T, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(loaded["styles"][0]["convs"][0]["w"]),
+            np.transpose(sd["styles.0.convs.0.weight"], (2, 3, 1, 0)),
+            rtol=1e-6)
+
+    def test_gradual_style_block_matches_torch(self):
+        # functional parity of one style head against the literal torch
+        # module (e4e.py:117-139): [conv3x3/2 pad1 + LeakyReLU(0.01)]*n
+        # then EqualLinear (weight*1/sqrt(in) at runtime, bias*lr_mul)
+        import torch
+        import torch.nn as nn
+        import torch.nn.functional as F
+        from pggan_tpu.models.e4e import (_gradual_style_block,
+                                          _gradual_style_block_init)
+        rs = np.random.RandomState(1)
+        in_ch, dim, spatial = 8, 8, 4
+        p = _gradual_style_block_init(jax.random.PRNGKey(3), in_ch, dim,
+                                      spatial)
+        x = rs.randn(2, spatial, spatial, in_ch).astype(np.float32)
+        y = np.asarray(_gradual_style_block(p, jnp.asarray(x)))
+
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        h = xt
+        for conv in p["convs"]:
+            w = torch.tensor(np.transpose(np.asarray(conv["w"]), (3, 2, 0, 1)))
+            b = torch.tensor(np.asarray(conv["b"]))
+            h = F.leaky_relu(F.conv2d(h, w, b, stride=2, padding=1), 0.01)
+        h = h.reshape(h.shape[0], -1)
+        wl = torch.tensor(np.asarray(p["linear"]["w"]).T)
+        bl = torch.tensor(np.asarray(p["linear"]["b"]))
+        ref = F.linear(h, wl * float(p["linear"]["scale"]), bl)
+        np.testing.assert_allclose(y, ref.numpy(), rtol=1e-4, atol=1e-5)

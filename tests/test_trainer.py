@@ -74,7 +74,28 @@ class TestValidation:
             trainer.close()
         records = [json.loads(l) for l in open(
             os.path.join(cfg.save_root, "val_run", "metrics.jsonl"))]
-        assert any("valid_D_real" in r for r in records)
+        assert any("valid_D_real" in r for r in records)   # legacy alias
+
+    def test_validation_evaluates_fake_side_and_losses(self, tmp_path):
+        """validation() must be a real evaluation (the capability
+        `pggan/model.py:260-261` stubs out): multi-batch, BOTH D sides
+        (real and generated) plus adversarial losses, as val_* metrics."""
+        cfg = smoke_cfg(tmp_path, use_validation=True, test_cycle=2,
+                        val_batches=2)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("val_fake", max_step=3)
+        finally:
+            trainer.close()
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.save_root, "val_fake", "metrics.jsonl"))]
+        val = [r for r in records if "val_D_fake" in r]
+        assert val, "no fake-side validation metrics logged"
+        for key in ("val_D_real", "val_D_fake", "val_L_D", "val_L_G"):
+            assert all(np.isfinite(r[key]) for r in val)
+        # BCE losses on logits are strictly positive; identically-zero
+        # values would mean the eval never ran the nets
+        assert all(r["val_L_D"] > 0 and r["val_L_G"] > 0 for r in val)
 
 
     def test_validation_survives_scale_jump(self, tmp_path):
@@ -167,6 +188,46 @@ class TestResume:
             assert trainer2.schedule.next_scale_jump_step == 7
             # the fit total uses the restored budget too
             assert list(trainer2.cfg.max_step_at_scale) == [7, 9, 9]
+        finally:
+            trainer2.close()
+
+    def test_yaml_default_values_defer_to_snapshot(self, tmp_path):
+        """Provenance tiers (`lib/model_loader.py:26-31` parity): a yaml
+        key whose value EQUALS the package default is not user intent —
+        train.py always loads `--config configs.yaml`, so if every yaml
+        key counted as explicit, resume would silently re-apply the
+        current yaml's whole schedule/lr/loss_mode over the snapshot.
+        Only yaml keys that DIFFER from defaults (plus CLI flags) win."""
+        import yaml as yaml_lib
+        cfg = smoke_cfg(tmp_path, max_step_at_scale=[7, 9, 9], lr_G=3e-4)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("prov", max_step=2)
+        finally:
+            trainer.close()
+
+        # a resume yaml carrying (a) default values for the snapshot-
+        # overridden keys and (b) one genuinely changed key
+        resume_yaml = tmp_path / "resume.yaml"
+        resume_yaml.write_text(yaml_lib.safe_dump({
+            "save_root": str(tmp_path / "results"),   # differs → explicit
+            "use_mGPU": True,                          # differs → explicit
+            "ckpt_id": "prov",
+            "max_step_at_scale":                      # EQUALS default →
+                Config().max_step_at_scale,           # snapshot must win
+            "lr_G": 1e-4,                              # equals default
+            "lr_D": 7e-5,                              # differs → explicit
+        }))
+        cfg2 = Config.from_yaml(str(resume_yaml))
+        assert "max_step_at_scale" not in cfg2.explicit_keys()
+        assert "lr_D" in cfg2.explicit_keys()
+        trainer2 = create_model(cfg2)
+        try:
+            # snapshot wins where the resume yaml only restated defaults
+            assert list(trainer2.cfg.max_step_at_scale) == [7, 9, 9]
+            assert trainer2.cfg.lr_G == pytest.approx(3e-4)
+            # explicit (non-default) yaml keys still override the snapshot
+            assert trainer2.cfg.lr_D == pytest.approx(7e-5)
         finally:
             trainer2.close()
 

@@ -7,7 +7,7 @@ BASELINE.md speed-of-light audits.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import argparse, sys, time
+import argparse, time
 import numpy as np
 
 def main():
@@ -29,7 +29,9 @@ def main():
     from pggan_tpu.parallel import create_mesh, replicate, shard_batch
     from pggan_tpu.train.step import init_train_state, make_optimizers, make_train_step
 
-    depths = [512, 512, 512, 512, 256, 128, 64, 32, 16][:max(ns.scale + 1, 7)]
+    # reference depth law: 512 through scale 3, then halve, floored at 16
+    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
+              for s in range(max(ns.scale + 1, 7))]
     res = 2 ** (ns.scale + 2)
     cfg = Config({"depths": depths, "latent_dim": 512,
                   "compute_dtype": "bfloat16", "loss_mode": ns.loss_mode,

@@ -95,8 +95,10 @@ def main(argv=None):
     from pggan_tpu.train.step import (init_train_state, make_optimizers,
                                       make_train_step)
 
-    # reference default depths up to 256²; 9-scale extension for 512/1024
-    depths = [512, 512, 512, 512, 256, 128, 64, 32, 16][:max(ns.scale + 1, 7)]
+    # reference depth law (configs.yaml:50): 512 through scale 3, then
+    # halve, floored at 16 — valid for any scale (512/1024 extensions)
+    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
+              for s in range(max(ns.scale + 1, 7))]
     scale = ns.scale
     res = 2 ** (scale + 2)
     devices = jax.devices()

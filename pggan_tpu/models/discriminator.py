@@ -101,34 +101,67 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
                         get_feature: bool = False,
                         compute_dtype=jnp.float32,
                         impl: str = "xla",
-                        remat: bool = False
+                        remat: bool = False,
+                        hires_pack: bool = False
                         ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Forward pass on NHWC input; returns logits [B, decision_layer_size]
     (and the pre-decision feature when `get_feature`, `nets.py:273-276`).
+
+    `hires_pack=True` runs the TOP level (fromRGB + the outermost block)
+    in the space-to-depth packed representation (ops/packed.py): exact
+    same math, but the huge-spatial × tiny-channel tensors that trigger
+    XLA's layout-copy pathology at ≥512² never exist — the level executes
+    at quarter spatial with 4× channels and its avgpool exits directly
+    into the unpacked next level. Needs scale ≥ 1.
     """
     scale = len(params["blocks"])
     x = x.astype(compute_dtype)
 
     x_down = None
-    if scale >= 1:
+    if hires_pack and scale >= 1:
+        from pggan_tpu.ops.packed import (downscale2d_packed,
+                                          packed_equalized_conv2d,
+                                          space_to_depth2)
+        xp = space_to_depth2(x)
+        # downscale2d(x) ≡ subpixel-group mean of the packed image
         x_down = leaky_relu(
-            equalized_conv2d(params["fromrgb"][-2], downscale2d(x),
+            equalized_conv2d(params["fromrgb"][-2], downscale2d_packed(xp),
                              compute_dtype=compute_dtype), slope)
-
-    y = leaky_relu(equalized_conv2d(params["fromrgb"][-1], x,
-                                    compute_dtype=compute_dtype), slope)
+        y = leaky_relu(packed_equalized_conv2d(params["fromrgb"][-1], xp,
+                                               compute_dtype=compute_dtype),
+                       slope)
+    else:
+        if scale >= 1:
+            x_down = leaky_relu(
+                equalized_conv2d(params["fromrgb"][-2], downscale2d(x),
+                                 compute_dtype=compute_dtype), slope)
+        y = leaky_relu(equalized_conv2d(params["fromrgb"][-1], x,
+                                        compute_dtype=compute_dtype), slope)
 
     def block_fn(block, v):
         v = leaky_relu(equalized_conv2d(block["conv0"], v, compute_dtype=compute_dtype), slope)
         v = leaky_relu(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype), slope)
         return downscale2d(v)
+
+    def packed_block_fn(block, v):
+        from pggan_tpu.ops.packed import (downscale2d_packed,
+                                          packed_equalized_conv2d)
+        v = leaky_relu(packed_equalized_conv2d(
+            block["conv0"], v, compute_dtype=compute_dtype), slope)
+        v = leaky_relu(packed_equalized_conv2d(
+            block["conv1"], v, compute_dtype=compute_dtype), slope)
+        return downscale2d_packed(v)     # lands unpacked at the next level
     if remat:
         # per-block remat: keeps 1024² activations out of the R1
         # grad-of-grad's live set (see generator.py note)
         block_fn = jax.checkpoint(block_fn)
+        packed_block_fn = jax.checkpoint(packed_block_fn)
 
     for pos, i in enumerate(reversed(range(scale))):
-        y = block_fn(params["blocks"][i], y)
+        if pos == 0 and hires_pack:
+            y = packed_block_fn(params["blocks"][i], y)
+        else:
+            y = block_fn(params["blocks"][i], y)
         if pos == 0:
             y = blend(x_down, y, alpha)
 

@@ -95,6 +95,21 @@ def _normalize_images(img: jax.Array) -> jax.Array:
     return img.astype(jnp.float32)
 
 
+def resolve_hires_pack(cfg, scale_index: int) -> bool:
+    """Packed top level for D at huge spatial (ops/packed.py): 'auto'
+    packs when the top resolution is ≥ 512 AND its depth ≤ 64 — exactly
+    the shape class where XLA's layout copies ate 41% of the 1024² step
+    (BASELINE.md). True forces it (needs scale ≥ 1); False disables."""
+    hp_cfg = cfg["hires_pack"] if "hires_pack" in cfg else "auto"
+    if hp_cfg is True:
+        return scale_index >= 1
+    if hp_cfg == "auto":
+        depths_list = list(cfg.depths)
+        return (scale_index >= 1 and 2 ** (scale_index + 2) >= 512
+                and int(depths_list[scale_index]) <= 64)
+    return False
+
+
 def make_train_step(cfg, scale_index: int,
                     opt_g: optax.GradientTransformation,
                     opt_d: optax.GradientTransformation,
@@ -151,6 +166,7 @@ def make_train_step(cfg, scale_index: int,
     remat = (remat_cfg is True) or (remat_cfg == "auto" and scale_index >= 9)
     # G weight smoothing (PGGAN paper §A.1; 0.0 = off = reference parity).
     ema_decay = float(cfg["g_ema_decay"]) if "g_ema_decay" in cfg else 0.0
+    hires_pack = resolve_hires_pack(cfg, scale_index)
 
     def g_apply(params, z, alpha):
         return generator_apply(
@@ -161,7 +177,8 @@ def make_train_step(cfg, scale_index: int,
     def d_apply(params, img, alpha):
         return discriminator_apply(
             params, img, alpha, slope=slope, apply_minibatch_norm=apply_mbn,
-            compute_dtype=compute_dtype, impl=impl, remat=remat)
+            compute_dtype=compute_dtype, impl=impl, remat=remat,
+            hires_pack=hires_pack)
 
     def _step(state: TrainState, img_real: jax.Array, alpha: jax.Array,
               apply_r1):
@@ -237,8 +254,22 @@ def make_train_step(cfg, scale_index: int,
 
             if loss_mode != "wgangp":
                 raise ValueError(f"unknown loss mode {loss_mode!r}")
-            pred_real = d_fn(img_real)
-            pred_fake = d_fn(img_fake)
+            # Unlike the R1 path, NEITHER of these forwards sits inside an
+            # inner grad — both halves carry real cotangents in the single
+            # params backward — so batching real+fake through one 2B
+            # forward is a pure fusion win (same FLOPs, one pipelined
+            # conv chain instead of two). Legal when B % 4 == 0 so
+            # minibatch-stddev subgroups never straddle the real/fake
+            # boundary (lib/blocks.py:204-233). The GP interp forward
+            # stays SEPARATE: its inner ∇x would drag batched halves
+            # through the inner backward with zero cotangents (the
+            # measured R1 lesson, BASELINE.md).
+            if (batch % 4 == 0) or not apply_mbn:
+                pred = d_fn(jnp.concatenate([img_real, img_fake], axis=0))
+                pred_real, pred_fake = pred[:batch], pred[batch:]
+            else:
+                pred_real = d_fn(img_real)
+                pred_fake = d_fn(img_fake)
             l_real = bce_with_logits(pred_real, 1)
             l_fake = bce_with_logits(pred_fake, 0)
             gp = gradient_penalty(d_fn, img_real, img_fake, eps, w_gp) if w_gp else 0.0

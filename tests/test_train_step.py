@@ -104,6 +104,42 @@ class TestStepSemantics:
         assert "L_D_gp" in metrics and "L_D_eps" in metrics
         assert float(metrics["L_D_gp"]) > 0
 
+    def test_wgangp_fused_forward_matches_oracle(self):
+        """The 2B real+fake fused D forward (B % 4 == 0 fast path) must be
+        loss-exact: recompute every wgangp D-loss term with SEPARATE
+        unfused forwards from the step's own rng stream and compare."""
+        from pggan_tpu.models import discriminator_apply, generator_apply
+        from pggan_tpu.losses.gan import (bce_with_logits, drift_loss,
+                                          gradient_penalty)
+        cfg = base_cfg(loss_mode="wgangp")
+        state, og, od = setup_state(cfg)
+        img = batch(8, 4)
+        fn = make_train_step(cfg, 0, og, od)
+        _, metrics, _ = fn(state, img, jnp.float32(0.0))
+
+        # oracle: replay the step's split discipline (rng, z1, z2, eps)
+        _, k_z1, _, k_eps = jax.random.split(state.rng, 4)
+        real = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
+        z1 = jax.random.normal(k_z1, (8, LATENT), jnp.float32)
+        eps = jax.random.uniform(k_eps, (8,), jnp.float32)
+        fake = jax.lax.stop_gradient(
+            generator_apply(state.params_G, z1, jnp.float32(0.0)))
+        d_fn = lambda im: discriminator_apply(state.params_D, im,
+                                              jnp.float32(0.0))
+        pred_real, pred_fake = d_fn(real), d_fn(fake)   # UNFUSED
+        l_real = bce_with_logits(pred_real, 1)
+        l_fake = bce_with_logits(pred_fake, 0)
+        gp = gradient_penalty(d_fn, real, fake, eps, float(cfg.W_gp))
+        drift = drift_loss(pred_real, float(cfg.W_drift_D))
+        np.testing.assert_allclose(float(metrics["L_D_real"]), float(l_real),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(metrics["L_D_fake"]), float(l_fake),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(metrics["L_D_gp"]), float(gp),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(metrics["L_D_eps"]), float(drift),
+                                   rtol=1e-5)
+
     def test_lazy_r1_single_program(self):
         # r1_interval>1 → one compiled program with a traced apply_r1 flag;
         # off-steps report L_D_r1 == 0 and skip the penalty.

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Regenerate the full per-scale benchmark table in ONE command.
+
+Runs `bench.py` once per (scale, loss_mode) row — each in its OWN
+subprocess: two loss modes at the same scale have identical input
+signatures but different HLO, and this environment's remote compile
+service deadlocks if one process compiles both (see
+.claude/skills/verify/SKILL.md). Per-scale batch follows BASELINE.md's
+schedule (16 through 256², 8 at 512², 4 at 1024²).
+
+Emits one JSON document on stdout (every row + the bench metadata) and a
+ready-to-paste markdown table on stderr, so BASELINE.md's table carries a
+single vintage per refresh.
+
+Usage:
+    python tools/bench_table.py                     # full table
+    python tools/bench_table.py --scales 6 8        # subset
+    python tools/bench_table.py --out table.json
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_BATCH = {7: 8, 8: 4}          # per chip; 16 elsewhere
+
+
+def run_row(scale, loss_mode, batch, steps, extra_env=None):
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+           "--scale", str(scale), "--batch_per_chip", str(batch),
+           "--steps", str(steps), "--loss_mode", loss_mode]
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=3600)
+    if proc.returncode != 0:
+        return {"scale": scale, "loss_mode": loss_mode, "batch": batch,
+                "error": proc.stderr[-800:]}
+    row = json.loads(proc.stdout.strip().splitlines()[-1])
+    row.update({"scale": scale, "loss_mode": loss_mode, "batch": batch})
+    return row
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", type=int, nargs="*",
+                    default=[2, 3, 4, 5, 6, 7, 8])
+    ap.add_argument("--loss_modes", nargs="*", default=None,
+                    help="default: r1 at every scale + wgangp at 256/1024")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--out", default=None, help="also write JSON here")
+    ns = ap.parse_args(argv)
+
+    rows = []
+    for scale in ns.scales:
+        batch = DEFAULT_BATCH.get(scale, 16)
+        modes = ns.loss_modes or (
+            ["r1", "wgangp"] if scale in (6, 8) else ["r1"])
+        for mode in modes:
+            # fewer timed steps where a step takes ~1s
+            steps = ns.steps if scale < 7 else max(10, ns.steps // 3)
+            print(f"[bench_table] scale {scale} ({2**(scale+2)}px) "
+                  f"{mode} batch {batch} ...", file=sys.stderr)
+            row = run_row(scale, mode, batch, steps)
+            rows.append(row)
+            print(f"[bench_table]   -> "
+                  f"{row.get('value', row.get('error', '?'))}",
+                  file=sys.stderr)
+
+    doc = {"rows": rows}
+    print(json.dumps(doc, indent=1))
+    if ns.out:
+        with open(ns.out, "w") as f:
+            json.dump(doc, f, indent=1)
+
+    # markdown table for BASELINE.md
+    print("\n| Scale | Res | mode | batch/chip | img/s/chip | step ms | "
+          "MFU | vs_baseline |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['scale']} | {2**(r['scale']+2)} | {r['loss_mode']} "
+                  f"| {r['batch']} | ERROR | | | |", file=sys.stderr)
+            continue
+        step_ms = 1000.0 * r["batch"] / r["value"]
+        mfu = f"{r['mfu']:.3f}" if r.get("mfu") else "—"
+        print(f"| {r['scale']} | {2**(r['scale']+2)} | {r['loss_mode']} | "
+              f"{r['batch']} | **{r['value']}** | {step_ms:.1f} | {mfu} | "
+              f"{r['vs_baseline']} |", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

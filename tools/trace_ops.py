@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Aggregate per-op device time from an XProf trace (speed-of-light audit).
+
+Usage: python tools/trace_ops.py /tmp/xprof_s8 [--top 25] [--steps 3]
+
+Finds the newest trace.json.gz under the logdir, buckets TensorCore op
+events by XLA category (fusion kinds, copy/transpose, convolution, ...)
+and prints totals + the top individual ops, divided by --steps to give
+per-step costs. This is the parser behind BASELINE.md's layout-copy and
+MXU-efficiency numbers.
+"""
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+
+def find_trace(logdir):
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        paths = glob.glob(os.path.join(logdir, "**", "trace.json.gz"),
+                          recursive=True)
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {logdir}")
+    return max(paths, key=os.path.getmtime)
+
+
+def classify(name):
+    n = name.lower()
+    if n.startswith("copy") or ".copy" in n or n.startswith("transpose"):
+        return "copy/transpose"
+    for kind in ("loop_convolution", "convolution"):
+        if kind in n:
+            return "convolution"
+    for kind in ("loop_fusion", "input_fusion", "output_fusion", "fusion"):
+        if kind in n:
+            return "fusion:" + (n.split(".")[0] if "." in n else kind)
+    for kind in ("reduce", "broadcast", "reverse", "select", "scatter",
+                 "dynamic-update", "all-reduce", "rng", "iota", "dot",
+                 "concatenate", "slice", "pad", "bitcast", "convert"):
+        if kind in n:
+            return kind
+    return "other"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logdir")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--steps", type=int, default=3,
+                    help="trace_steps the trace covers (per-step divide)")
+    ns = ap.parse_args(argv)
+
+    path = find_trace(ns.logdir)
+    print(f"# {path}", file=sys.stderr)
+    with gzip.open(path, "rt") as f:
+        doc = json.load(f)
+
+    # device-side events: pids whose process name mentions TPU/TensorCore
+    names = {}
+    for ev in doc.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            names[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev_pids = {pid for pid, n in names.items()
+                if any(k in n for k in ("TPU", "TensorCore", "/device"))}
+
+    cat = collections.Counter()
+    per_op = collections.Counter()
+    count = collections.Counter()
+    total = 0.0
+    for ev in doc.get("traceEvents", []):
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "")
+        # XProf nests step/annotation rows in separate tids; op rows carry
+        # durations in us
+        dur = float(ev.get("dur", 0.0))
+        if dur <= 0:
+            continue
+        key = classify(name)
+        cat[key] += dur
+        per_op[name] += dur
+        count[name] += 1
+        total += dur
+
+    steps = max(1, ns.steps)
+    print(f"total device time: {total/1000/steps:.2f} ms/step "
+          f"(over {steps} steps)")
+    print("\n== by category (ms/step, % of device) ==")
+    for key, us in cat.most_common():
+        print(f"{us/1000/steps:9.2f}  {100*us/total:5.1f}%  {key}")
+    print(f"\n== top {ns.top} ops (ms/step, calls/step) ==")
+    for name, us in per_op.most_common(ns.top):
+        print(f"{us/1000/steps:9.2f}  {count[name]/steps:6.1f}x  {name[:110]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,11 +35,26 @@ def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,
     """Algorithmic (dense-conv) TFLOPs of one fused D+G train step.
 
     Model-FLOPs convention: counts the reference formulation's MACs×2 —
-    structural fusions that EXECUTE fewer MACs (the dilated upscale-conv)
-    still count at the dense rate, so MFU is comparable across rounds.
-    Pass multipliers (see BASELINE.md): G = 2 fwd + 1 bwd (2×) = 4 fwd-eq;
-    D(r1) = real fwd + inner ∇x (1) + fake fwd+bwd (3) + outer reverse
-    over [fwd + ∇x] (4) + G-phase fwd + ∇x (2) = 10 fwd-eq.
+    structural fusions that EXECUTE fewer MACs (the dilated upscale-conv,
+    the packed top level) still count at the dense rate, so MFU is
+    comparable across rounds.
+
+    Pass multipliers — explicit unit system (round-3 refinement, see
+    BASELINE.md "Pass accounting"): one D or G forward = 1; an
+    input-grad-only backward = 1 (one transposed conv per layer); a
+    parameter backward = 2 (dX chain + dW contraction per layer).
+      G (both modes): z1 fwd + z2 fwd + θ-bwd(2) ............. = 4
+      D r1:    real fwd 1 + inner ∇x 1 + outer reverse over the
+               [fwd,∇x] chain 2×2=4 + fake fwd 1 + fake θ-bwd 2
+               + G-phase fwd 1 + G-phase input-bwd 1 ......... = 11
+      D wgangp: real⊕fake 2B fwd 2 + their θ-bwd 4 + interp
+               fwd 1 + inner ∇x 1 + outer reverse 4
+               + G-phase fwd+input-bwd 2 ..................... = 14
+    The 14/11 D ratio PREDICTS the measured step-time ratio to ~1.5%
+    (r1 117 ms vs wgangp 142.6 ms at 256²) — the extra GP work is
+    structural, not scheduling waste. (Round 2 used D=10 for both modes;
+    the refinement raises r1 model FLOPs ~7% and gives wgangp its own
+    multiplier — BASELINE.md records both vintages.)
     """
     def conv(res, k, cin, cout):
         return 2.0 * batch * res * res * k * k * cin * cout
@@ -61,9 +76,8 @@ def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,
         res = 2 ** (i + 2)
         dd += conv(res, 3, d[i], d[i]) + conv(res, 3, d[i], d[i - 1])
     dd += conv(4, 3, d[0] + 1, d[0]) + 2.0 * batch * (16 * d[0] * d[0] + d[0])
-    # wgangp mode: eps-interpolated GP forward+grad instead of the R1
-    # inner/outer structure — same pass count to first order; keep 10.
-    return (4.0 * g + 10.0 * dd) / 1e12
+    d_mult = 14.0 if loss_mode == "wgangp" else 11.0
+    return (4.0 * g + d_mult * dd) / 1e12
 
 
 def main(argv=None):
@@ -163,6 +177,15 @@ def main(argv=None):
     per_chip = imgs_per_sec / n_chips
     tflops_per_step = step_model_tflops(depths, scale, ns.batch_per_chip,
                                         loss_mode=ns.loss_mode)
+    # vs_baseline is a SAME-WORKLOAD comparison: the analytic PyTorch-GPU
+    # denominator (BASELINE.md) was calibrated for the r1 step; other loss
+    # modes run strictly more model FLOPs per image (wgangp: D 14 vs 11
+    # pass units), so their denominator scales by the model-FLOP ratio —
+    # the reference GPU would pay the same extra passes.
+    r1_tflops = step_model_tflops(depths, scale, ns.batch_per_chip,
+                                  loss_mode="r1")
+    baseline_imgs_per_sec = (PYTORCH_GPU_BASELINE_IMGS_PER_SEC
+                             * r1_tflops / tflops_per_step)
     step_s = elapsed / ns.steps
     kind = devices[0].device_kind.lower().replace(" ", "")
     peak = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind), None)
@@ -176,7 +199,7 @@ def main(argv=None):
                   f"(fused D+G, {ns.loss_mode}, {ns.compute_dtype})",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / PYTORCH_GPU_BASELINE_IMGS_PER_SEC, 2),
+        "vs_baseline": round(per_chip / baseline_imgs_per_sec, 2),
         "mfu": round(mfu, 3) if mfu is not None else None,
         "model_tflops_per_step": round(tflops_per_step, 2),
     }

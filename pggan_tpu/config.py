@@ -112,10 +112,12 @@ _DEFAULTS: Dict[str, Any] = {
     #   'auto': quarter-res dense conv w/ 4·C_out groups on lane-bound
     #     blocks (cout < 128) | True: same, all blocks | False: unfused
     "fused_scale": "dilated",
-    # space-to-depth packed execution of D's top level (ops/packed.py):
-    # kills the XLA layout-copy pathology at huge-spatial × tiny-channel
-    # shapes. 'auto' packs when the top resolution ≥ 512 AND its depth
-    # ≤ 64; True forces it (needs scale ≥ 1); False disables.
+    # space-to-depth packed execution of the top G/D levels
+    # (ops/packed.py): kills the XLA layout-copy pathology at
+    # huge-spatial × tiny-channel shapes (41% of the 1024² step).
+    # 'auto' packs every consecutive top level with resolution ≥ 512 and
+    # depth ≤ 64 (2 levels at 1024²); an int forces that many levels;
+    # True ≡ 1; False disables.
     "hires_pack": "auto",
     # periodic FID evaluation: every fid_cycle steps compare fid_samples
     # generated images against held-out reals (0 = off). Uses the

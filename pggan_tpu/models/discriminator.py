@@ -102,31 +102,41 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
                         compute_dtype=jnp.float32,
                         impl: str = "xla",
                         remat: bool = False,
-                        hires_pack: bool = False
+                        hires_pack: int = 0
                         ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Forward pass on NHWC input; returns logits [B, decision_layer_size]
     (and the pre-decision feature when `get_feature`, `nets.py:273-276`).
 
-    `hires_pack=True` runs the TOP level (fromRGB + the outermost block)
-    in the space-to-depth packed representation (ops/packed.py): exact
-    same math, but the huge-spatial × tiny-channel tensors that trigger
-    XLA's layout-copy pathology at ≥512² never exist — the level executes
-    at quarter spatial with 4× channels and its avgpool exits directly
-    into the unpacked next level. Needs scale ≥ 1.
+    `hires_pack=N` (bool True ≡ 1) runs the top N levels (fromRGB + the
+    N outermost blocks) in the space-to-depth packed representation
+    (ops/packed.py): exact same math, but the huge-spatial × tiny-channel
+    tensors that trigger XLA's layout-copy pathology at ≥512² never
+    exist — each packed level executes at quarter spatial with 4×
+    channels; its avgpool exits into the next level, re-packed while
+    that level is packed too. Capped at `scale`.
     """
     scale = len(params["blocks"])
+    npack = min(int(hires_pack), scale)
     x = x.astype(compute_dtype)
 
     x_down = None
-    if hires_pack and scale >= 1:
+    if npack >= 1:
         from pggan_tpu.ops.packed import (downscale2d_packed,
                                           packed_equalized_conv2d,
                                           space_to_depth2)
         xp = space_to_depth2(x)
         # downscale2d(x) ≡ subpixel-group mean of the packed image
-        x_down = leaky_relu(
-            equalized_conv2d(params["fromrgb"][-2], downscale2d_packed(xp),
-                             compute_dtype=compute_dtype), slope)
+        down_img = downscale2d_packed(xp)
+        if npack >= 2:
+            # the blend partner must match the first block's (packed)
+            # output representation at level scale-1
+            x_down = leaky_relu(packed_equalized_conv2d(
+                params["fromrgb"][-2], space_to_depth2(down_img),
+                compute_dtype=compute_dtype), slope)
+        else:
+            x_down = leaky_relu(
+                equalized_conv2d(params["fromrgb"][-2], down_img,
+                                 compute_dtype=compute_dtype), slope)
         y = leaky_relu(packed_equalized_conv2d(params["fromrgb"][-1], xp,
                                                compute_dtype=compute_dtype),
                        slope)
@@ -158,8 +168,14 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
         packed_block_fn = jax.checkpoint(packed_block_fn)
 
     for pos, i in enumerate(reversed(range(scale))):
-        if pos == 0 and hires_pack:
+        if pos < npack:
             y = packed_block_fn(params["blocks"][i], y)
+            if pos + 1 < npack:
+                # next level runs packed too: re-pack its (unpacked)
+                # pooled input — one controlled transpose instead of
+                # XLA's per-fusion relayouts at this shape
+                from pggan_tpu.ops.packed import space_to_depth2
+                y = space_to_depth2(y)
         else:
             y = block_fn(params["blocks"][i], y)
         if pos == 0:

@@ -115,7 +115,8 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
                     compute_dtype=jnp.float32,
                     impl: str = "xla",
                     remat: bool = False,
-                    fused_scale="dilated") -> jax.Array:
+                    fused_scale="dilated",
+                    hires_pack: int = 0) -> jax.Array:
     """Forward pass. Returns NHWC images in [-1, 1] (no last activation by
     default, matching `generator_last_activation: null` in configs.yaml).
 
@@ -173,22 +174,75 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
         v = act(v)
         v = act(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype))
         return v
+    def packed_block_fn(block, v):
+        """The top block in the packed representation (ops/packed.py):
+        conv0 stays the quarter-res 4C-group form WITHOUT depth-to-space,
+        conv1/lrelu/pixel_norm run packed — the full-res tiny-channel
+        tensor that triggers XLA's ≥512² layout copies never exists."""
+        from pggan_tpu.ops.fused_scale import upscale_conv3x3_packed
+        from pggan_tpu.ops.packed import (packed_equalized_conv2d,
+                                          pixel_norm_packed)
+
+        def act_packed(u):
+            u = leaky_relu(u, slope)
+            return pixel_norm_packed(u) if apply_pixel_norm else u
+
+        v = upscale_conv3x3_packed(block["conv0"], v,
+                                   compute_dtype=compute_dtype)
+        v = act_packed(v)
+        v = packed_equalized_conv2d(block["conv1"], v,
+                                    compute_dtype=compute_dtype)
+        return act_packed(v)
     if remat:
         # rematerialize per-block activations in the backward pass — trades
         # FLOPs for HBM at high resolutions (1024² activations don't fit
         # alongside the R1 double-backward otherwise)
         block_fn = jax.checkpoint(block_fn)
+        packed_block_fn = jax.checkpoint(packed_block_fn)
 
+    npack = min(int(hires_pack), scale)     # top-N blocks run packed
     penultimate = x
+    penultimate_packed = False
     for i, block in enumerate(params["blocks"]):
         penultimate = x
-        x = block_fn(block, x)
+        penultimate_packed = i > scale - npack
+        if i >= scale - npack:
+            if penultimate_packed:
+                # previous packed block emitted PACKED at this block's
+                # input resolution — one controlled unpack transpose
+                from pggan_tpu.ops.fused_scale import depth_to_space2
+                x = depth_to_space2(x)
+            x = packed_block_fn(block, x)       # PACKED [B, h, w, 4C]
+        else:
+            x = block_fn(block, x)
 
-    out = equalized_conv2d(params["torgb"][-1], x, compute_dtype=compute_dtype)
-    if scale >= 1:
-        x_up = upscale2d(equalized_conv2d(params["torgb"][-2], penultimate,
-                                          compute_dtype=compute_dtype))
-        out = blend(x_up, out, alpha)
+    if npack >= 1:
+        from pggan_tpu.ops.fused_scale import depth_to_space2
+        from pggan_tpu.ops.packed import (packed_equalized_conv2d,
+                                          upscale2d_packed)
+        outp = packed_equalized_conv2d(params["torgb"][-1], x,
+                                       compute_dtype=compute_dtype)
+        if scale >= 1:
+            if penultimate_packed:
+                # toRGB the packed penultimate, unpack the (tiny) RGB
+                # image, then group-broadcast it up to the top level
+                prev_img = depth_to_space2(packed_equalized_conv2d(
+                    params["torgb"][-2], penultimate,
+                    compute_dtype=compute_dtype))
+            else:
+                prev_img = equalized_conv2d(params["torgb"][-2], penultimate,
+                                            compute_dtype=compute_dtype)
+            # RGB-domain fade (`nets.py:140-156`) in the packed image
+            # domain; ONE unpack transpose materializes the final image
+            outp = blend(upscale2d_packed(prev_img), outp, alpha)
+        out = depth_to_space2(outp)
+    else:
+        out = equalized_conv2d(params["torgb"][-1], x,
+                               compute_dtype=compute_dtype)
+        if scale >= 1:
+            x_up = upscale2d(equalized_conv2d(params["torgb"][-2], penultimate,
+                                              compute_dtype=compute_dtype))
+            out = blend(x_up, out, alpha)
 
     if last_activation == "tanh":
         out = jnp.tanh(out)

@@ -115,3 +115,25 @@ def upscale_conv3x3(params: Dict[str, jax.Array], x: jax.Array, *,
         preferred_element_type=pref)
     y = y + jnp.tile(b, 4).astype(y.dtype)
     return depth_to_space2(y).astype(dt)
+
+
+def upscale_conv3x3_packed(params: Dict[str, jax.Array], x: jax.Array, *,
+                           compute_dtype=None) -> jax.Array:
+    """`equalized_conv2d(params, upscale2d(x))` emitted PACKED: the
+    quarter-res 4·C_out-group conv WITHOUT the trailing depth-to-space —
+    output is [B, h, w, 4C] in the (a,b)-row-major convention of
+    ops/packed.py, i.e. `depth_to_space2(result)` equals the unpacked op.
+    Feeds the packed top-level path at ≥512² (the 2× upscaled tensor
+    never exists in the layout-copy-prone huge-spatial shape)."""
+    w, b = params["w"], params["b"]
+    scale = jax.lax.stop_gradient(params["scale"])
+    dt = compute_dtype or x.dtype
+    w = (w.astype(jnp.float32) * scale)
+    b = (b.astype(jnp.float32) * scale)
+    wt = _transform_kernel(w).astype(dt)
+    pref = jnp.float32 if dt == jnp.float32 else None
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), wt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref)
+    return (y + jnp.tile(b, 4).astype(y.dtype)).astype(dt)

@@ -95,19 +95,27 @@ def _normalize_images(img: jax.Array) -> jax.Array:
     return img.astype(jnp.float32)
 
 
-def resolve_hires_pack(cfg, scale_index: int) -> bool:
-    """Packed top level for D at huge spatial (ops/packed.py): 'auto'
-    packs when the top resolution is ≥ 512 AND its depth ≤ 64 — exactly
-    the shape class where XLA's layout copies ate 41% of the 1024² step
-    (BASELINE.md). True forces it (needs scale ≥ 1); False disables."""
+def resolve_hires_pack(cfg, scale_index: int) -> int:
+    """Number of TOP levels G and D run in the space-to-depth packed
+    representation (ops/packed.py) — the fix for XLA's layout-copy
+    pathology at huge-spatial × tiny-channel shapes, which ate 41% of
+    the 1024² step (BASELINE.md). 'auto' packs every consecutive top
+    level whose resolution is ≥ 512 AND whose depth is ≤ 64 (scale 8
+    default table → 2 levels: 1024²/d16 and 512²/d32). True ≡ 1 level;
+    an int forces that many; False/0 disables. Capped at scale."""
     hp_cfg = cfg["hires_pack"] if "hires_pack" in cfg else "auto"
     if hp_cfg is True:
-        return scale_index >= 1
+        return 1 if scale_index >= 1 else 0
     if hp_cfg == "auto":
         depths_list = list(cfg.depths)
-        return (scale_index >= 1 and 2 ** (scale_index + 2) >= 512
-                and int(depths_list[scale_index]) <= 64)
-    return False
+        n = 0
+        for s in range(scale_index, 0, -1):
+            if 2 ** (s + 2) >= 512 and int(depths_list[s]) <= 64:
+                n += 1
+            else:
+                break
+        return n
+    return min(int(hp_cfg), scale_index) if hp_cfg else 0
 
 
 def make_train_step(cfg, scale_index: int,
@@ -172,7 +180,7 @@ def make_train_step(cfg, scale_index: int,
         return generator_apply(
             params, z, alpha, slope=slope, apply_pixel_norm=apply_pn,
             last_activation=last_act, compute_dtype=compute_dtype, impl=impl,
-            remat=remat, fused_scale=fused_scale)
+            remat=remat, fused_scale=fused_scale, hires_pack=hires_pack)
 
     def d_apply(params, img, alpha):
         return discriminator_apply(

@@ -119,13 +119,14 @@ class TestDiscriminatorPacked:
         x = _x(8, 4 * 2 ** scale, 3, seed=7)
         return p, x
 
-    def test_logits_match_unpacked(self):
+    @pytest.mark.parametrize("levels", [1, 2])
+    def test_logits_match_unpacked(self, levels):
         from pggan_tpu.models import discriminator_apply
         p, x = self._setup()
         for alpha in (0.0, 0.4, 1.0):
             a = jnp.float32(alpha)
             want = discriminator_apply(p, x, a)
-            got = discriminator_apply(p, x, a, hires_pack=True)
+            got = discriminator_apply(p, x, a, hires_pack=levels)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-4, atol=1e-4)
 
@@ -174,6 +175,42 @@ class TestDiscriminatorPacked:
                                        metrics[False][key],
                                        rtol=1e-3, atol=1e-4, err_msg=key)
 
+    @pytest.mark.parametrize("levels", [1, 2])
+    def test_generator_packed_matches_unpacked(self, levels):
+        # G's packed top levels (conv0 sans depth-to-space, packed conv1 /
+        # pixel_norm / torgb / RGB-domain blend) must emit the SAME image
+        from pggan_tpu.models import generator_apply, init_generator_params
+        depths = [16, 16, 8]
+        p = init_generator_params(jax.random.PRNGKey(0), latent_dim=32,
+                                  depths=depths, scale=2)
+        z = jnp.asarray(np.random.RandomState(2).randn(4, 32), jnp.float32)
+        for alpha in (0.0, 0.6, 1.0):
+            a = jnp.float32(alpha)
+            want = generator_apply(p, z, a)
+            got = generator_apply(p, z, a, hires_pack=levels)
+            assert got.shape == want.shape == (4, 16, 16, 3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_generator_packed_param_grads_match(self):
+        from pggan_tpu.models import generator_apply, init_generator_params
+        depths = [16, 16, 8]
+        p = init_generator_params(jax.random.PRNGKey(1), latent_dim=32,
+                                  depths=depths, scale=2)
+        z = jnp.asarray(np.random.RandomState(3).randn(2, 32), jnp.float32)
+        cot = jnp.asarray(np.random.RandomState(4).randn(2, 16, 16, 3),
+                          jnp.float32)
+
+        def loss(params, **kw):
+            return jnp.sum(generator_apply(params, z, jnp.float32(0.5),
+                                           **kw) * cot)
+
+        want = jax.grad(loss)(p)
+        got = jax.grad(lambda q: loss(q, hires_pack=True))(p)
+        for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-4)
+
     def test_auto_threshold(self):
         # 'auto' must pack only at >=512px tops with depth <= 64
         from pggan_tpu import Config
@@ -182,11 +219,15 @@ class TestDiscriminatorPacked:
         depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
                   for s in range(9)]
         cfg = Config({"depths": depths})
-        assert not resolve_hires_pack(cfg, 6)   # 256² → res too small
-        assert resolve_hires_pack(cfg, 7)       # 512², depth 32
-        assert resolve_hires_pack(cfg, 8)       # 1024², depth 16
-        assert not resolve_hires_pack(Config({"depths": depths,
-                                              "hires_pack": False}), 8)
+        assert resolve_hires_pack(cfg, 6) == 0  # 256² → res too small
+        assert resolve_hires_pack(cfg, 7) == 1  # 512²/d32 only
+        assert resolve_hires_pack(cfg, 8) == 2  # 1024²/d16 + 512²/d32
+        assert resolve_hires_pack(Config({"depths": depths,
+                                          "hires_pack": False}), 8) == 0
         forced = Config({"depths": depths, "hires_pack": True})
-        assert resolve_hires_pack(forced, 2)
-        assert not resolve_hires_pack(forced, 0)   # no blocks to pack
+        assert resolve_hires_pack(forced, 2) == 1
+        assert resolve_hires_pack(forced, 0) == 0   # no blocks to pack
+        assert resolve_hires_pack(Config({"depths": depths,
+                                          "hires_pack": 2}), 8) == 2
+        assert resolve_hires_pack(Config({"depths": depths,
+                                          "hires_pack": 5}), 2) == 2  # cap

@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--logdir", default="/tmp/xprof_s8")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
+    ap.add_argument("--hires_pack", default="auto",
+                    choices=["auto", "on", "off"])
     ns = ap.parse_args()
 
     import jax, jax.numpy as jnp
@@ -36,6 +38,8 @@ def main():
     cfg = Config({"depths": depths, "latent_dim": 512,
                   "compute_dtype": "bfloat16", "loss_mode": ns.loss_mode,
                   "donate_buffers": True,
+                  "hires_pack": {"auto": "auto", "on": True,
+                                 "off": False}[ns.hires_pack],
                   "remat": True if ns.remat else "auto"})
     opt_g, opt_d = make_optimizers(cfg)
 

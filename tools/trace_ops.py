@@ -60,24 +60,32 @@ def main(argv=None):
     with gzip.open(path, "rt") as f:
         doc = json.load(f)
 
-    # device-side events: pids whose process name mentions TPU/TensorCore
-    names = {}
+    # device-side events: pids whose process name mentions TPU/TensorCore,
+    # restricted to the "XLA Ops" thread rows — step/module/TraceMe rows
+    # on other tids are HIERARCHY (parents of the op rows) and would
+    # double-count every microsecond
+    pnames, tnames = {}, {}
     for ev in doc.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            names[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev_pids = {pid for pid, n in names.items()
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
+            pnames[ev["pid"]] = ev.get("args", {}).get("name", "")
+        elif ev.get("name") == "thread_name":
+            tnames[(ev["pid"], ev.get("tid"))] = \
+                ev.get("args", {}).get("name", "")
+    dev_pids = {pid for pid, n in pnames.items()
                 if any(k in n for k in ("TPU", "TensorCore", "/device"))}
+    op_tids = {k for k, n in tnames.items()
+               if k[0] in dev_pids and "XLA Ops" in n}
 
     cat = collections.Counter()
     per_op = collections.Counter()
     count = collections.Counter()
     total = 0.0
     for ev in doc.get("traceEvents", []):
-        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+        if ev.get("ph") != "X" or (ev.get("pid"), ev.get("tid")) not in op_tids:
             continue
         name = ev.get("name", "")
-        # XProf nests step/annotation rows in separate tids; op rows carry
-        # durations in us
         dur = float(ev.get("dur", 0.0))
         if dur <= 0:
             continue

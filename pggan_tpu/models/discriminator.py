@@ -102,7 +102,8 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
                         compute_dtype=jnp.float32,
                         impl: str = "xla",
                         remat: bool = False,
-                        hires_pack: int = 0
+                        hires_pack: int = 0,
+                        input_packed: bool = False
                         ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Forward pass on NHWC input; returns logits [B, decision_layer_size]
     (and the pre-decision feature when `get_feature`, `nets.py:273-276`).
@@ -117,6 +118,8 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
     """
     scale = len(params["blocks"])
     npack = min(int(hires_pack), scale)
+    if input_packed and npack < 1:
+        raise ValueError("input_packed requires hires_pack >= 1 levels")
     x = x.astype(compute_dtype)
 
     x_down = None
@@ -124,7 +127,9 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
         from pggan_tpu.ops.packed import (downscale2d_packed,
                                           packed_equalized_conv2d,
                                           space_to_depth2)
-        xp = space_to_depth2(x)
+        # the train step at hires_pack keeps images in the packed domain
+        # end-to-end (fade/G-output/D-input) — no transpose round trips
+        xp = x if input_packed else space_to_depth2(x)
         # downscale2d(x) ≡ subpixel-group mean of the packed image
         down_img = downscale2d_packed(xp)
         if npack >= 2:

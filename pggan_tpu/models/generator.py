@@ -116,7 +116,8 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
                     impl: str = "xla",
                     remat: bool = False,
                     fused_scale="dilated",
-                    hires_pack: int = 0) -> jax.Array:
+                    hires_pack: int = 0,
+                    output_packed: bool = False) -> jax.Array:
     """Forward pass. Returns NHWC images in [-1, 1] (no last activation by
     default, matching `generator_last_activation: null` in configs.yaml).
 
@@ -234,8 +235,12 @@ def generator_apply(params: Dict[str, Any], latent: jax.Array,
                                             compute_dtype=compute_dtype)
             # RGB-domain fade (`nets.py:140-156`) in the packed image
             # domain; ONE unpack transpose materializes the final image
+            # (skipped when the caller consumes packed images directly —
+            # the train step at hires_pack feeds D packed end-to-end)
             outp = blend(upscale2d_packed(prev_img), outp, alpha)
-        out = depth_to_space2(outp)
+        out = outp if output_packed else depth_to_space2(outp)
+    elif output_packed:
+        raise ValueError("output_packed requires hires_pack >= 1 levels")
     else:
         out = equalized_conv2d(params["torgb"][-1], x,
                                compute_dtype=compute_dtype)

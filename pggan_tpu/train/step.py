@@ -176,17 +176,28 @@ def make_train_step(cfg, scale_index: int,
     ema_decay = float(cfg["g_ema_decay"]) if "g_ema_decay" in cfg else 0.0
     hires_pack = resolve_hires_pack(cfg, scale_index)
 
+    # With any packed level, the WHOLE step works on packed images
+    # (ops/packed.py): the real fade, G's output, and D's input stay in
+    # the [B, R/2, R/2, 12] domain — no per-consumer transpose round
+    # trips, and the reference's fade ops on [B, R², 3] f32 tensors
+    # (measured 11–46 GB/s in XLA's degenerate T(2,128) tilings at
+    # 1024², ~15 ms/step) become channel-group ops. R1/GP penalties are
+    # EXACT under this: a fixed permutation of image pixels preserves
+    # ‖∇x‖² (sum over all coordinates).
+    packed_imgs = hires_pack >= 1
+
     def g_apply(params, z, alpha):
         return generator_apply(
             params, z, alpha, slope=slope, apply_pixel_norm=apply_pn,
             last_activation=last_act, compute_dtype=compute_dtype, impl=impl,
-            remat=remat, fused_scale=fused_scale, hires_pack=hires_pack)
+            remat=remat, fused_scale=fused_scale, hires_pack=hires_pack,
+            output_packed=packed_imgs)
 
     def d_apply(params, img, alpha):
         return discriminator_apply(
             params, img, alpha, slope=slope, apply_minibatch_norm=apply_mbn,
             compute_dtype=compute_dtype, impl=impl, remat=remat,
-            hires_pack=hires_pack)
+            hires_pack=hires_pack, input_packed=packed_imgs)
 
     def _step(state: TrainState, img_real: jax.Array, alpha: jax.Array,
               apply_r1):
@@ -196,7 +207,18 @@ def make_train_step(cfg, scale_index: int,
         alpha = jnp.asarray(alpha, jnp.float32)
 
         # ---- real fade-in (pggan/model.py:217-221) ----
-        if scale_index > 0:
+        if packed_imgs:
+            # pack once; fade = subpixel-group mean broadcast back (the
+            # avgpool window IS the group) — all at [B, R/2, R/2, 12]
+            from pggan_tpu.ops.packed import space_to_depth2
+            img_real = space_to_depth2(img_real)
+            bb, hh, ww, cc = img_real.shape
+            grp = img_real.reshape(bb, hh, ww, 4, cc // 4)
+            low = jnp.broadcast_to(
+                jnp.mean(grp, axis=3, keepdims=True), grp.shape
+            ).reshape(img_real.shape)
+            img_real = blend(low, img_real, alpha)
+        elif scale_index > 0:
             low = upscale2d(downscale2d(img_real, 2), 2)
             img_real = blend(low, img_real, alpha)
 
@@ -316,7 +338,13 @@ def make_train_step(cfg, scale_index: int,
             ema = state.params_G_ema
         new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D,
                                rng, ema)
-        images = (img_real, img_fake2.astype(jnp.float32))
+        if packed_imgs:
+            # unpack the sample-grid outputs once, outside every grad
+            from pggan_tpu.ops.fused_scale import depth_to_space2
+            images = (depth_to_space2(img_real),
+                      depth_to_space2(img_fake2).astype(jnp.float32))
+        else:
+            images = (img_real, img_fake2.astype(jnp.float32))
         return new_state, metrics, images
 
     if lazy_r1:

@@ -53,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--steps", type=int, default=3,
                     help="trace_steps the trace covers (per-step divide)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-op achieved HBM bandwidth (bytes_accessed/dur)")
+    ap.add_argument("--roofline_filter", default=None,
+                    help="substring filter for roofline op names")
+    ap.add_argument("--hbm_peak", type=float, default=819.0,
+                    help="HBM peak GB/s (v5e: 819)")
     ns = ap.parse_args(argv)
 
     path = find_trace(ns.logdir)
@@ -104,6 +110,36 @@ def main(argv=None):
     print(f"\n== top {ns.top} ops (ms/step, calls/step) ==")
     for name, us in per_op.most_common(ns.top):
         print(f"{us/1000/steps:9.2f}  {count[name]/steps:6.1f}x  {name[:110]}")
+
+    if ns.roofline:
+        # achieved HBM bandwidth per op (bytes_accessed from XProf op
+        # metrics) — the counter-proof instrument for "would a hand
+        # kernel beat this": an op already at ≥80% of peak BW has no
+        # headroom for a Pallas rewrite of the same pass structure.
+        rows = []
+        seen_bytes = {}
+        for ev in doc.get("traceEvents", []):
+            if ev.get("ph") != "X" or (ev.get("pid"),
+                                       ev.get("tid")) not in op_tids:
+                continue
+            args = ev.get("args", {})
+            by = args.get("bytes_accessed")
+            dur = float(ev.get("dur", 0.0))
+            if not by or dur <= 0:
+                continue
+            name = ev.get("name", "")
+            if ns.roofline_filter and ns.roofline_filter not in name:
+                continue
+            prev = seen_bytes.get(name, (0.0, 0.0))
+            seen_bytes[name] = (prev[0] + float(by), prev[1] + dur)
+        for name, (by, dur) in seen_bytes.items():
+            rows.append((dur / 1000 / steps, by / dur / 1e3, name))  # GB/s
+        rows.sort(reverse=True)
+        print(f"\n== roofline (ms/step, achieved GB/s vs "
+              f"{ns.hbm_peak:.0f} peak) ==")
+        for ms, gbps, name in rows[:ns.top]:
+            print(f"{ms:9.2f}  {gbps:7.0f} GB/s  {100*gbps/ns.hbm_peak:5.1f}%"
+                  f"  {name[:90]}")
     return 0
 
 

@@ -16,6 +16,7 @@ import gzip
 import json
 import os
 import sys
+from typing import Optional
 
 
 def find_trace(logdir):
@@ -45,6 +46,69 @@ def classify(name):
         if kind in n:
             return kind
     return "other"
+
+
+_SHAPE_RE = None
+
+
+def _physical_bytes(long_name: str) -> Optional[int]:
+    """Estimate PHYSICAL HBM bytes for every shaped tensor in an HLO
+    long_name (output + operands), honoring TPU tiled layouts.
+
+    XLA lays tensors out in (sublane, lane) tiles — `T(8,128)` for f32,
+    with a `(2,1)`/`(4,1)` packing suffix for 16/8-bit types — and PADS
+    the two minor-most dims up to the tile. A bf16[...,64] tensor
+    therefore occupies 2× its logical bytes in HBM (64 → 128 lanes), and
+    bytes_accessed (logical) understates true traffic by exactly that
+    factor. This estimator reproduces XLA's padding arithmetic so the
+    roofline can report achieved PHYSICAL bandwidth; tokens living in
+    scalar/SMEM space (`S(1)`…) and untiled 1-D scalars are counted
+    logically. Returns None when no shaped token parses.
+    """
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        import re
+        # dtype[dims]{perm:T(tiles)...}  — layout block optional
+        _SHAPE_RE = re.compile(
+            r"\b([a-z]+\d+)\[([\d,]*)\]"          # dtype [d0,d1,...]
+            r"(?:\{([\d,]*)"                       # {perm
+            r"(?::T\(([^)]*)\)(?:\((\d+),1\))?)?"  # :T(8,128) (2,1)
+            r"[^}]*\})?")
+    bits = {"f32": 32, "s32": 32, "u32": 32, "bf16": 16, "f16": 16,
+            "s16": 16, "u16": 16, "s8": 8, "u8": 8, "pred": 8,
+            "f64": 64, "s64": 64, "u64": 64}
+    total, found = 0, False
+    for m in _SHAPE_RE.finditer(long_name):
+        dt, dims_s, perm_s, tile_s, pack_s = m.groups()
+        if dt not in bits:
+            continue
+        dims = [int(d) for d in dims_s.split(",") if d] if dims_s else []
+        nbytes = bits[dt] // 8
+        if not dims:
+            total += nbytes
+            found = True
+            continue
+        padded = list(dims)
+        if tile_s and perm_s:
+            tile = [int(t) for t in tile_s.split(",") if t]
+            perm = [int(p) for p in perm_s.split(",") if p]
+            pack = int(pack_s) if pack_s else 1
+            # XLA layout braces list dims MINOR→major (minor_to_major):
+            # perm[0] is the lane (minor-most) dim, perm[1] the sublane.
+            # Tile T(s,l) lists (sublane, lane); sub-byte packing (p,1)
+            # multiplies the sublane granularity (bf16 → 16 rows).
+            if len(tile) >= 1 and len(perm) == len(dims):
+                tiled_dims = list(reversed(perm[:len(tile)]))
+                for i, (ax, t) in enumerate(zip(tiled_dims, tile)):
+                    if ax < len(padded) and t > 0:
+                        eff = t * (pack if i == 0 and len(tile) > 1 else 1)
+                        padded[ax] = -(-padded[ax] // eff) * eff
+        n = nbytes
+        for d in padded:
+            n *= max(1, d)
+        total += n
+        found = True
+    return total if found else None
 
 
 def main(argv=None):
@@ -130,16 +194,20 @@ def main(argv=None):
             name = ev.get("name", "")
             if ns.roofline_filter and ns.roofline_filter not in name:
                 continue
-            prev = seen_bytes.get(name, (0.0, 0.0))
-            seen_bytes[name] = (prev[0] + float(by), prev[1] + dur)
-        for name, (by, dur) in seen_bytes.items():
-            rows.append((dur / 1000 / steps, by / dur / 1e3, name))  # GB/s
+            phys = _physical_bytes(args.get("long_name", "")) or float(by)
+            prev = seen_bytes.get(name, (0.0, 0.0, 0.0))
+            seen_bytes[name] = (prev[0] + float(by), prev[1] + dur,
+                                prev[2] + float(phys))
+        for name, (by, dur, phys) in seen_bytes.items():
+            rows.append((dur / 1000 / steps, by / dur / 1e3,
+                         phys / dur / 1e3, name))       # GB/s
         rows.sort(reverse=True)
-        print(f"\n== roofline (ms/step, achieved GB/s vs "
-              f"{ns.hbm_peak:.0f} peak) ==")
-        for ms, gbps, name in rows[:ns.top]:
-            print(f"{ms:9.2f}  {gbps:7.0f} GB/s  {100*gbps/ns.hbm_peak:5.1f}%"
-                  f"  {name[:90]}")
+        print(f"\n== roofline (ms/step, logical + PHYSICAL achieved GB/s "
+              f"vs {ns.hbm_peak:.0f} peak; physical honors tile padding — "
+              f"e.g. a 64-wide minor dim moves 2x its logical bytes) ==")
+        for ms, gbps, pgbps, name in rows[:ns.top]:
+            print(f"{ms:9.2f}  {gbps:7.0f} log  {pgbps:7.0f} phys "
+                  f"{100*pgbps/ns.hbm_peak:5.1f}%  {name[:80]}")
     return 0
 
 

@@ -25,7 +25,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-DEFAULT_BATCH = {7: 8, 8: 4}          # per chip; 16 elsewhere
+# Per-chip batch: 16 everywhere except 1024², where 8 is the largest
+# that fits (round 3: hires_pack's unpadded layouts freed enough HBM to
+# double the r2 batch — 4 → 8; 12/16 still OOM, measured).
+DEFAULT_BATCH = {8: 8}
 
 
 def run_row(scale, loss_mode, batch, steps, extra_env=None):

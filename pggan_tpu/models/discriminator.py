@@ -125,22 +125,24 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
     x_down = None
     if npack >= 1:
         from pggan_tpu.ops.packed import (downscale2d_packed,
+                                          downscale2d_repack,
                                           packed_equalized_conv2d,
                                           space_to_depth2)
         # the train step at hires_pack keeps images in the packed domain
         # end-to-end (fade/G-output/D-input) — no transpose round trips
         xp = x if input_packed else space_to_depth2(x)
-        # downscale2d(x) ≡ subpixel-group mean of the packed image
-        down_img = downscale2d_packed(xp)
         if npack >= 2:
             # the blend partner must match the first block's (packed)
-            # output representation at level scale-1
+            # output representation at level scale-1: pooled + re-packed
+            # image in ONE stride-2 constant conv
             x_down = leaky_relu(packed_equalized_conv2d(
-                params["fromrgb"][-2], space_to_depth2(down_img),
+                params["fromrgb"][-2], downscale2d_repack(xp),
                 compute_dtype=compute_dtype), slope)
         else:
+            # downscale2d(x) ≡ subpixel-group mean of the packed image
             x_down = leaky_relu(
-                equalized_conv2d(params["fromrgb"][-2], down_img,
+                equalized_conv2d(params["fromrgb"][-2],
+                                 downscale2d_packed(xp),
                                  compute_dtype=compute_dtype), slope)
         y = leaky_relu(packed_equalized_conv2d(params["fromrgb"][-1], xp,
                                                compute_dtype=compute_dtype),
@@ -158,29 +160,27 @@ def discriminator_apply(params: Dict[str, Any], x: jax.Array,
         v = leaky_relu(equalized_conv2d(block["conv1"], v, compute_dtype=compute_dtype), slope)
         return downscale2d(v)
 
-    def packed_block_fn(block, v):
+    def packed_block_fn(block, v, repack):
         from pggan_tpu.ops.packed import (downscale2d_packed,
+                                          downscale2d_repack,
                                           packed_equalized_conv2d)
         v = leaky_relu(packed_equalized_conv2d(
             block["conv0"], v, compute_dtype=compute_dtype), slope)
         v = leaky_relu(packed_equalized_conv2d(
             block["conv1"], v, compute_dtype=compute_dtype), slope)
+        if repack:
+            # next level runs packed too: pool + re-pack in one conv
+            return downscale2d_repack(v)
         return downscale2d_packed(v)     # lands unpacked at the next level
     if remat:
         # per-block remat: keeps 1024² activations out of the R1
         # grad-of-grad's live set (see generator.py note)
         block_fn = jax.checkpoint(block_fn)
-        packed_block_fn = jax.checkpoint(packed_block_fn)
+        packed_block_fn = jax.checkpoint(packed_block_fn, static_argnums=(2,))
 
     for pos, i in enumerate(reversed(range(scale))):
         if pos < npack:
-            y = packed_block_fn(params["blocks"][i], y)
-            if pos + 1 < npack:
-                # next level runs packed too: re-pack its (unpacked)
-                # pooled input — one controlled transpose instead of
-                # XLA's per-fusion relayouts at this shape
-                from pggan_tpu.ops.packed import space_to_depth2
-                y = space_to_depth2(y)
+            y = packed_block_fn(params["blocks"][i], y, pos + 1 < npack)
         else:
             y = block_fn(params["blocks"][i], y)
         if pos == 0:

@@ -46,6 +46,7 @@ every op here is jnp, so the R1/GP grad-of-grad composes to any order.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -124,27 +125,82 @@ def packed_equalized_conv2d(params: Dict[str, jax.Array], x: jax.Array, *,
 def downscale2d_packed(x: jax.Array) -> jax.Array:
     """avgpool ×2 of the UNPACKED tensor ≡ mean over the 4 subpixel groups:
     [B,h,w,4C] → [B,h,w,C] (already at the next level's resolution).
-    bf16-accumulating like ops/basic.downscale2d."""
-    bsz, hh, ww, c4 = x.shape
-    c = c4 // 4
-    v = x.reshape(bsz, hh, ww, 4, c)
+    bf16-accumulating like ops/basic.downscale2d.
+
+    Implemented as LANE-dim slices + adds, NOT a [B,h,w,4,C] group
+    reshape: the 5-D reshape's minor-dim-C form made XLA assign
+    minor-padded layouts and bracket every use with relayout `copy`s
+    (measured 12.4 ms/step at 512², 25 ms at 1024² — trace audit,
+    BASELINE.md round 3). Slices keep the tensor 4-D and lane-major."""
+    c = x.shape[-1] // 4
     inv = jnp.asarray(0.25, x.dtype)
-    return jnp.sum(v, axis=3, dtype=x.dtype) * inv
+    s = x[..., :c] + x[..., c:2 * c] + x[..., 2 * c:3 * c] + x[..., 3 * c:]
+    return s * inv
 
 
 def upscale2d_packed(x: jax.Array) -> jax.Array:
     """nearest-neighbor ×2 upscale, emitted PACKED: [B,h,w,C] → [B,h,w,4C]
-    (each subpixel group equals the source pixel)."""
-    bsz, hh, ww, c = x.shape
-    y = jnp.broadcast_to(x[:, :, :, None, :], (bsz, hh, ww, 4, c))
-    return y.reshape(bsz, hh, ww, 4 * c)
+    (each subpixel group equals the source pixel). Lane-dim concat — see
+    downscale2d_packed for why not a 5-D broadcast+reshape."""
+    return jnp.concatenate([x, x, x, x], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _downscale_repack_kernel_np(c: int):
+    """[2,2,4C,4C] constant kernel for `space_to_depth2(downscale2d_packed
+    (x))` as ONE stride-2 conv. Output packed pixel (i,j), group (a,b),
+    channel c' = the pooled next-level value at pixel (2i+a, 2j+b) =
+    0.25 · Σ_g x[2i+a, 2j+b, g·C+c']:
+        K[dy, dx, g·C+c, (a,b)·C+c'] = 0.25 · δ(c,c') · δ((dy,dx),(a,b))
+    """
+    k = np.zeros((2, 2, 4 * c, 4 * c), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            go = 2 * a + b
+            for g in range(4):
+                for ci in range(c):
+                    k[a, b, g * c + ci, go * c + ci] = 0.25
+    return k
+
+
+def downscale2d_repack(x: jax.Array) -> jax.Array:
+    """`space_to_depth2(downscale2d_packed(x))` fused: [B,h,w,4C] →
+    [B,h/2,w/2,4C] — the packed input of the NEXT packed level in one
+    stride-2 constant conv. Replaces the slice-sum + transpose pair at
+    packed-level transitions: the conv stays lane-major end to end and
+    its ~4·(4C)² MACs/output pixel are MXU noise next to the relayout
+    copies the separate ops cost (trace audit, BASELINE.md round 3).
+    bf16 accumulation of 4 terms matches the packed-avgpool convention."""
+    c = x.shape[-1] // 4
+    k = jnp.asarray(_downscale_repack_kernel_np(c), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.lru_cache(maxsize=None)
+def _group_mean_kernel_np(c: int):
+    """[1,1,4C,4C] block-diagonal 1×1 kernel: each output channel g·C+j
+    receives the mean over its own group's C input channels."""
+    blk = np.full((c, c), 1.0 / c, np.float32)
+    k = np.kron(np.eye(4, dtype=np.float32), blk)
+    return k.reshape(1, 1, 4 * c, 4 * c)
 
 
 def pixel_norm_packed(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     """pixel_norm over each subpixel's ORIGINAL channel slice
-    ([B,h,w,4C]: normalize within each group of C)."""
-    bsz, hh, ww, c4 = x.shape
-    v = x.reshape(bsz, hh, ww, 4, c4 // 4)
-    x32 = v.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
-    return (v * inv.astype(v.dtype)).reshape(bsz, hh, ww, c4)
+    ([B,h,w,4C]: normalize within each group of C).
+
+    The group mean runs as a block-diagonal 1×1 conv so the tensor stays
+    4-D and lane-full end to end — the former [B,h,w,4,C] reshape forced
+    minor-dim-C layouts and relayout copies around every call (14.7
+    ms/step at 512²; trace audit, BASELINE.md round 3). The constant
+    kernel is f32 and the conv accumulates in f32, preserving the
+    unpacked op's f32-mean numerics; the extra MACs are noise
+    ((4C)² per pixel ≈ 0.1 ms at 1024²/batch 8)."""
+    x32 = x.astype(jnp.float32)
+    k = jnp.asarray(_group_mean_kernel_np(x.shape[-1] // 4))
+    m = jax.lax.conv_general_dilated(
+        x32 * x32, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (x32 * jax.lax.rsqrt(m + eps)).astype(x.dtype)

@@ -202,25 +202,29 @@ def make_train_step(cfg, scale_index: int,
     def _step(state: TrainState, img_real: jax.Array, alpha: jax.Array,
               apply_r1):
         rng, k_z1, k_z2, k_eps = jax.random.split(state.rng, 4)
-        img_real = _normalize_images(img_real)
         batch = img_real.shape[0]
         alpha = jnp.asarray(alpha, jnp.float32)
 
         # ---- real fade-in (pggan/model.py:217-221) ----
         if packed_imgs:
-            # pack once; fade = subpixel-group mean broadcast back (the
-            # avgpool window IS the group) — all at [B, R/2, R/2, 12]
-            from pggan_tpu.ops.packed import space_to_depth2
-            img_real = space_to_depth2(img_real)
-            bb, hh, ww, cc = img_real.shape
-            grp = img_real.reshape(bb, hh, ww, 4, cc // 4)
-            low = jnp.broadcast_to(
-                jnp.mean(grp, axis=3, keepdims=True), grp.shape
-            ).reshape(img_real.shape)
+            # pack FIRST (uint8 byte transpose), normalize packed — the
+            # full-res f32 [B,R,R,3] tensor never exists; fade =
+            # subpixel-group mean broadcast back (the avgpool window IS
+            # the group), via the lane-slice/concat group ops (a 5-D
+            # group reshape here cost ~7 ms/step of relayout copies at
+            # 1024², trace audit round 3)
+            from pggan_tpu.ops.packed import (downscale2d_packed,
+                                              space_to_depth2,
+                                              upscale2d_packed)
+            img_real = _normalize_images(space_to_depth2(img_real))
+            low = upscale2d_packed(downscale2d_packed(img_real))
             img_real = blend(low, img_real, alpha)
         elif scale_index > 0:
+            img_real = _normalize_images(img_real)
             low = upscale2d(downscale2d(img_real, 2), 2)
             img_real = blend(low, img_real, alpha)
+        else:
+            img_real = _normalize_images(img_real)
 
         # ---- D phase ----
         z1 = jax.random.normal(k_z1, (batch, latent_dim), jnp.float32)
@@ -339,10 +343,11 @@ def make_train_step(cfg, scale_index: int,
         new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D,
                                rng, ema)
         if packed_imgs:
-            # unpack the sample-grid outputs once, outside every grad
-            from pggan_tpu.ops.fused_scale import depth_to_space2
-            images = (depth_to_space2(img_real),
-                      depth_to_space2(img_fake2).astype(jnp.float32))
+            # return the sample-grid outputs PACKED [B,R/2,R/2,12]: the
+            # trainer unpacks on the rare image_cycle steps — unpacking
+            # here cost ~14 ms of d2s transposes on EVERY step for
+            # images that are read once per thousand (trace audit r3)
+            images = (img_real, img_fake2.astype(jnp.float32))
         else:
             images = (img_real, img_fake2.astype(jnp.float32))
         return new_state, metrics, images

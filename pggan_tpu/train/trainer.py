@@ -56,6 +56,19 @@ from pggan_tpu.utils.image import save_image as save_image_grid
 from pggan_tpu.utils.logging import MetricLogger
 
 
+def _unpack_image_np(img: np.ndarray) -> np.ndarray:
+    """Host-side depth_to_space2 for packed sample-grid images
+    ([B,h,w,12] → [B,2h,2w,3], (a,b)-row-major groups — the inverse of
+    `ops/packed.space_to_depth2`); images already in RGB pass through."""
+    if img.ndim != 4 or img.shape[-1] % 4 != 0 or img.shape[-1] == 3:
+        return img
+    b, h, w, c4 = img.shape
+    c = c4 // 4
+    v = img.reshape(b, h, w, 2, 2, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, 2 * h, 2 * w, c)
+
+
 class ProgressiveGANTrainer:
     """Create via `pggan_tpu.registry.create_model(cfg)` (the
     `CreateModel` analog, `lib/model_loader.py:4-37`) or directly."""
@@ -367,9 +380,13 @@ class ProgressiveGANTrainer:
         from pggan_tpu.parallel.mesh import local_numpy
         real, fake = images
         # local_numpy: on multi-host the grid shows this process's shard
-        # (global batch-sharded arrays are not host-materializable)
+        # (global batch-sharded arrays are not host-materializable).
+        # At hires_pack the step returns images PACKED [B,R/2,R/2,12]
+        # (unpacking device-side on every step cost ~14 ms for outputs
+        # read once per image_cycle); undo the space-to-depth here.
         save_image_grid(self.cfg.save_root, self.cfg.run_id, step, "imgs",
-                        [local_numpy(real), local_numpy(fake)])
+                        [_unpack_image_np(local_numpy(real)),
+                         _unpack_image_np(local_numpy(fake))])
 
     def validation(self, step: int):
         """Multi-batch held-out evaluation — the reference declares a

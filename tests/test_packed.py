@@ -175,6 +175,43 @@ class TestDiscriminatorPacked:
                                        metrics[False][key],
                                        rtol=1e-3, atol=1e-4, err_msg=key)
 
+    def test_train_step_returns_packed_images_and_trainer_unpacks(self):
+        # at hires_pack the step returns sample-grid images PACKED
+        # [B,R/2,R/2,12] (device-side unpack on every step was measured
+        # waste); the trainer's host-side unpack must invert
+        # space_to_depth2 exactly
+        from pggan_tpu import Config
+        from pggan_tpu.ops.packed import space_to_depth2
+        from pggan_tpu.train import make_optimizers, make_train_step
+        from pggan_tpu.train.step import init_train_state
+        from pggan_tpu.train.trainer import _unpack_image_np
+        from pggan_tpu.models import (init_discriminator_params,
+                                      init_generator_params)
+        depths = [16, 16, 8]
+        img = jnp.asarray(np.random.RandomState(2).randint(
+            0, 256, (8, 16, 16, 3), dtype=np.uint8))
+        cfg = Config({"depths": depths, "latent_dim": 32,
+                      "donate_buffers": False, "hires_pack": True})
+        rng = jax.random.PRNGKey(0)
+        kg, kd, ks = jax.random.split(rng, 3)
+        pG = init_generator_params(kg, latent_dim=32, depths=depths, scale=2)
+        pD = init_discriminator_params(kd, depths=depths, scale=2)
+        og, od = make_optimizers(cfg)
+        state = init_train_state(ks, pG, pD, og, od)
+        fn = make_train_step(cfg, 2, og, od)
+        _, _, (real_p, fake_p) = fn(state, img, jnp.float32(0.3))
+        assert real_p.shape == (8, 8, 8, 12) and fake_p.shape == (8, 8, 8, 12)
+        real = _unpack_image_np(np.asarray(real_p))
+        assert real.shape == (8, 16, 16, 3)
+        # the unpacked real equals the faded normalized input: re-pack it
+        # and compare against the step's packed output
+        np.testing.assert_allclose(
+            np.asarray(space_to_depth2(jnp.asarray(real))),
+            np.asarray(real_p), rtol=1e-6, atol=1e-6)
+        # passthrough for unpacked RGB
+        rgb = np.zeros((2, 4, 4, 3), np.float32)
+        assert _unpack_image_np(rgb) is rgb
+
     @pytest.mark.parametrize("levels", [1, 2])
     def test_generator_packed_matches_unpacked(self, levels):
         # G's packed top levels (conv0 sans depth-to-space, packed conv1 /

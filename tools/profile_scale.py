@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
     ap.add_argument("--hires_pack", default="auto",
-                    choices=["auto", "on", "off"])
+                    help="auto | on | off | <int> (force N packed levels)")
     ns = ap.parse_args()
 
     import jax, jax.numpy as jnp
@@ -39,7 +39,11 @@ def main():
                   "compute_dtype": "bfloat16", "loss_mode": ns.loss_mode,
                   "donate_buffers": True,
                   "hires_pack": {"auto": "auto", "on": True,
-                                 "off": False}[ns.hires_pack],
+                                 "off": False}.get(
+                                     ns.hires_pack,
+                                     ns.hires_pack if not str(
+                                         ns.hires_pack).lstrip("-").isdigit()
+                                     else int(ns.hires_pack)),
                   "remat": True if ns.remat else "auto"})
     opt_g, opt_d = make_optimizers(cfg)
 

@@ -11,9 +11,11 @@ Prints ONE JSON line:
 
 vs_baseline: the reference publishes no numbers (README.md:22-24 stub), so
 the denominator is an analytical PyTorch-GPU estimate documented in
-BASELINE.md: the same step costs ~3.6 TFLOP per image-batch-16 step and
-torch 1.11 fp32 unfused convs on a V100-class GPU sustain ~10 TFLOP/s
-effective → ~45 images/sec/chip. See BASELINE.md for the derivation.
+BASELINE.md: 45 images/sec/chip for the r1 step — deliberately generous
+(the pass-exact count is 13.51 TFLOP/step at 256²/batch 16, more than a
+torch-1.11-era V100 could sustain at that rate; BASELINE.md "Analytic
+PyTorch-GPU denominator"). Other loss modes scale the denominator by
+their model-FLOP ratio (same-workload comparison).
 """
 
 from __future__ import annotations

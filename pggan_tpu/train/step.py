@@ -342,14 +342,11 @@ def make_train_step(cfg, scale_index: int,
             ema = state.params_G_ema
         new_state = TrainState(params_G, params_D, opt_state_G, opt_state_D,
                                rng, ema)
-        if packed_imgs:
-            # return the sample-grid outputs PACKED [B,R/2,R/2,12]: the
-            # trainer unpacks on the rare image_cycle steps — unpacking
-            # here cost ~14 ms of d2s transposes on EVERY step for
-            # images that are read once per thousand (trace audit r3)
-            images = (img_real, img_fake2.astype(jnp.float32))
-        else:
-            images = (img_real, img_fake2.astype(jnp.float32))
+        # when packed_imgs, the sample-grid outputs stay PACKED
+        # [B,R/2,R/2,12]: the trainer unpacks on the rare image_cycle
+        # steps — unpacking here cost ~14 ms of d2s transposes on EVERY
+        # step for images that are read once per thousand (trace audit r3)
+        images = (img_real, img_fake2.astype(jnp.float32))
         return new_state, metrics, images
 
     if lazy_r1:

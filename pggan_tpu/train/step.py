@@ -25,8 +25,7 @@ wrap silently dropped (`lib/model.py:78-79` takes `.module`).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +36,6 @@ from pggan_tpu.losses.gan import (
     drift_loss,
     generator_loss,
     gradient_penalty,
-    r1_penalty,
 )
 from pggan_tpu.models.discriminator import discriminator_apply
 from pggan_tpu.models.generator import generator_apply

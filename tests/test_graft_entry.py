@@ -34,6 +34,8 @@ class TestGraftEntry:
         # Mimic the driver's seat: a process with a single visible device
         # calls dryrun_multichip(8); it must re-exec onto a virtual CPU
         # mesh and succeed.
+        from tests.conftest import require_live_jax_subprocess
+        require_live_jax_subprocess()
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)           # outer process: 1 CPU device
         env["JAX_PLATFORMS"] = "cpu"         # never touch the real TPU here

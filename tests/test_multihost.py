@@ -256,6 +256,9 @@ class TestTrueMultiProcess:
         import subprocess
         import sys
 
+        from tests.conftest import require_live_jax_subprocess
+        require_live_jax_subprocess()
+
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         worker = os.path.join(repo, "tests", "multiproc_worker.py")
         with socket.socket() as s:          # free loopback port

@@ -33,6 +33,12 @@ def write_cfg(tmp_path, **over):
         "data_backend": "synthetic",
         "synthetic_dataset_size": 64,
         "num_data_workers": 2,
+        # REQUIRED for subprocess tests: the env var JAX_PLATFORMS=cpu is
+        # latched over at interpreter startup on this image, so without
+        # this key the spawned trainer initializes the real TPU backend
+        # (slow remote compiles, device contention, hangs during service
+        # outages). train.py applies it via jax.config.update early.
+        "jax_platforms": "cpu",
         **over,
     }
     path = tmp_path / "cfg.yaml"
@@ -40,22 +46,29 @@ def write_cfg(tmp_path, **over):
     return str(path), cfg
 
 
-def run_train(args, *, timeout=900, sigterm_after=None):
+def run_train(args, log_path, *, timeout=900, sigterm_after=None):
+    # Child output goes to a FILE, never a PIPE: an un-drained pipe fills
+    # (64 KiB) and blocks the child mid-print — cold compiles on this
+    # image emit multi-KB loader warnings per program, which deadlocked
+    # the old PIPE version against the metrics.jsonl readiness poll.
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.Popen(
-        [sys.executable, os.path.join(REPO, "train.py"), *args],
-        cwd=REPO, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    if sigterm_after is not None:
-        time.sleep(sigterm_after)
-        proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=timeout)
-    return proc.returncode, out
+    env["JAX_PLATFORMS"] = "cpu"   # belt; the cfg's jax_platforms is what works
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "train.py"), *args],
+            cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT)
+        if sigterm_after is not None:
+            time.sleep(sigterm_after)
+            proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=timeout)
+    with open(log_path) as f:
+        return proc.returncode, f.read()
 
 
 class TestPreemption:
     def test_sigterm_checkpoints_and_resumes(self, tmp_path):
+        from tests.conftest import require_live_jax_subprocess
+        require_live_jax_subprocess()
         # unbounded-ish budget so the run can't finish before the signal.
         # Readiness is DETERMINISTIC: poll for a non-empty metrics.jsonl
         # (the trainer writes + flushes it at step 0, after the signal
@@ -64,11 +77,19 @@ class TestPreemption:
         cfg_path, cfg = write_cfg(tmp_path, max_step_at_scale=[5000, 5000])
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # file-backed output: see run_train for why PIPE deadlocks here
+        log_path = str(tmp_path / "pre.log")
+        log = open(log_path, "w")
         proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "train.py"), "pre",
              "--config", cfg_path, "--max_step", "5000"],
-            cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT)
+
+        def child_out():
+            if not log.closed:
+                log.flush()
+            with open(log_path) as f:
+                return f.read()
         # Deadlines are sized for the WORST cold-compile case: this
         # environment's remote compile service can take minutes per cold
         # program when congested (see conftest.py) — a short deadline here
@@ -81,13 +102,17 @@ class TestPreemption:
             if os.path.exists(metrics_path) and os.path.getsize(metrics_path):
                 break
             time.sleep(0.25)
-        assert proc.poll() is None, proc.communicate(timeout=60)[0]
+        assert proc.poll() is None, child_out()
         if not (os.path.exists(metrics_path) and os.path.getsize(metrics_path)):
             proc.kill()
-            proc.communicate(timeout=60)
-            raise AssertionError("training loop never went live within 900s")
+            proc.wait(timeout=60)
+            raise AssertionError(
+                "training loop never went live within 900s:\n"
+                + child_out()[-2000:])
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=240)
+        proc.wait(timeout=240)
+        log.close()
+        out = child_out()
         rc = proc.returncode
         assert rc == 0, out
         assert "interrupted" in out, out
@@ -104,7 +129,8 @@ class TestPreemption:
 
         # resume to completion
         rc, out = run_train(["pre2", "--config", cfg_path,
-                             "--ckpt_id", "pre", "--max_step", str(stopped + 5)])
+                             "--ckpt_id", "pre", "--max_step", str(stopped + 5)],
+                            str(tmp_path / "pre2.log"))
         assert rc == 0, out
         _, _, meta2 = load_checkpoint(cfg["save_root"], "pre2", "G", None)
         assert meta2["global_step"] == stopped + 5

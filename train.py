@@ -43,6 +43,14 @@ def parse_args(argv=None):
                         choices=["auto", "folder", "synthetic"], default=None)
     parser.add_argument("--compute_dtype",
                         choices=["float32", "bfloat16"], default=None)
+    parser.add_argument("--platform", default=None,
+                        help="pin the jax platform (e.g. cpu). NOTE: on this"
+                             " image the JAX_PLATFORMS env var is latched at"
+                             " interpreter startup, so env vars cannot select"
+                             " the platform for a spawned train.py — this"
+                             " flag (or a jax_platforms config key) applies"
+                             " jax.config.update before any backend"
+                             " initializes, which does work.")
     return parser.parse_args(argv)
 
 
@@ -63,6 +71,16 @@ def main(argv=None):
         value = getattr(ns, key)
         if value is not None:
             cfg[key] = value
+
+    # Pin the platform BEFORE anything initializes a jax backend (the
+    # trainer's first jax.process_index() would otherwise initialize the
+    # highest-priority platform — on this image "axon", the real TPU —
+    # even for test subprocesses that exported JAX_PLATFORMS=cpu).
+    platform = ns.platform or (
+        cfg["jax_platforms"] if "jax_platforms" in cfg else None)
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", str(platform))
 
     # multi-host initialization when a coordinator is configured
     if os.environ.get("JAX_COORDINATOR_ADDR"):

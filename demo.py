@@ -65,12 +65,19 @@ def main(argv=None):
     parser.add_argument("--ema", action="store_true",
                         help="sample from the smoothed generator (Gema "
                              "checkpoint; requires g_ema_decay > 0 training)")
+    parser.add_argument("--platform", default=None,
+                        help="pin the jax platform (e.g. cpu) — applied via "
+                             "jax.config.update before any backend "
+                             "initializes (env vars are latched over at "
+                             "interpreter startup on some images)")
     ns = parser.parse_args(argv)
 
     cfg = Config({"ckpt_id": ns.ckpt_id, "ckpt_step": ns.ckpt_step,
                   "save_root": ns.save_root})
 
     import jax
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
     import jax.numpy as jnp
     from pggan_tpu.models import generator_apply
 

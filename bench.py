@@ -94,9 +94,46 @@ def main(argv=None):
     parser.add_argument("--r1_interval", type=int, default=1,
                         help="lazy-R1 cadence; 1 = reference parity")
     parser.add_argument("--alpha", type=float, default=0.7)
+    parser.add_argument("--platform", default=None,
+                        help="pin the jax platform (e.g. cpu for smoke "
+                             "tests); env vars are latched over at "
+                             "interpreter startup on this image")
+    parser.add_argument("--device_timeout", type=float, default=900.0,
+                        help="fail fast (one diagnostic JSON line, rc 1) if "
+                             "the device hasn't answered within this many "
+                             "seconds — the axon service has had >1 h "
+                             "outages during which any device op hangs "
+                             "forever (verify skill); normal init+compile "
+                             "is well under 2 min warm")
     ns = parser.parse_args(argv)
 
+    # Watchdog: armed until the first full device round-trip (end of
+    # warmup). A hung bench tells the driver nothing; a diagnostic line
+    # does.
+    import os
+    import threading
+    _live = {"ok": False}
+
+    def _watchdog():
+        if not _live["ok"]:
+            print(json.dumps({
+                "metric": "images/sec/chip, progressive train step",
+                "value": None, "unit": "images/sec/chip",
+                "error": f"no device response within {ns.device_timeout:.0f}s"
+                         " — remote device service outage (see verify"
+                         " skill); bench aborted rather than hanging",
+            }))
+            sys.stdout.flush()
+            os._exit(1)
+
+    if ns.device_timeout > 0:
+        _timer = threading.Timer(ns.device_timeout, _watchdog)
+        _timer.daemon = True
+        _timer.start()
+
     import jax
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
     import jax.numpy as jnp
 
     # Persistent compilation cache: the per-scale fused step compiles once
@@ -167,6 +204,7 @@ def main(argv=None):
         state, metrics, _ = run(state, i)
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s; "
           f"L_D={float(jax.device_get(metrics['L_D'])):.3f}", file=sys.stderr)
+    _live["ok"] = True          # device answered end-to-end; disarm watchdog
 
     t0 = time.time()
     for i in range(ns.steps):

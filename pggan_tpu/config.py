@@ -98,6 +98,14 @@ _DEFAULTS: Dict[str, Any] = {
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,
     "donate_buffers": True,
+    # run N fused steps per dispatched program (lax.scan in-graph loop)
+    # inside event-free schedule windows — amortizes the per-step
+    # host→device round trip that dominates end-to-end throughput at
+    # small resolutions (measured table in BASELINE.md). 1 = off
+    # (per-step dispatch, reference-shaped loop); 'auto' = 8 at
+    # res ≤ 128, else 1; semantics are step-exact either way (chunks
+    # never straddle a schedule event — equivalence tested).
+    "steps_per_dispatch": 1,
     # rematerialization: True | False | 'auto'. With the dilated
     # upscale-conv fusion + bf16 avgpool accumulation, 512² (batch 8) and
     # 1024² (batch 4) fit WITHOUT remat on a v5e chip (measured: 35.4 →

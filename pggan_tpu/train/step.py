@@ -358,3 +358,77 @@ def make_train_step(cfg, scale_index: int,
         donate = (0,) if cfg.donate_buffers else ()
         return jax.jit(step, donate_argnums=donate)
     return step
+
+
+def make_chunked_train_step(cfg, scale_index: int,
+                            opt_g: optax.GradientTransformation,
+                            opt_d: optax.GradientTransformation,
+                            n_steps: int, *, jit: bool = True):
+    """`n_steps` fused iterations in ONE dispatched XLA program
+    (`lax.scan` over stacked batches) — the in-graph training loop.
+
+    Every per-step dispatch costs a host→device round trip; on a
+    remotely-attached TPU that is ~30 ms — larger than the entire device
+    step below 128² (BASELINE.md: 16² runs 5.7 ms on-device but ~47 ms
+    end-to-end). Chunking amortizes the round trip, the per-step Python,
+    and the metric-future bookkeeping across `n_steps` steps. The trainer
+    engages it only inside event-free schedule windows (no alpha/scale
+    jump, no log/image/FID/checkpoint boundary — trainer._chunk_window),
+    so `alpha` is a compile-visible constant-per-call traced scalar and
+    every host-visible side effect still happens at exactly the reference
+    step (`train.py:39-66` semantics are unchanged; the chunk is pure
+    state evolution between host actions).
+
+    Signature: chunk(state, [batch₀..batch_{k-1}], alpha) →
+    (state, metrics_of_last_step, images_of_last_step) — identical math
+    to `n_steps` sequential `make_train_step` calls (the same `_step`
+    body scans over the batch stack; RNG threads through `state.rng`
+    exactly as in single-step execution; equivalence is tested).
+
+    Not available with lazy R1 (`r1_interval > 1`): the per-step
+    `apply_r1` phase would make chunk windows cadence-dependent.
+    """
+    if n_steps < 2:
+        raise ValueError("chunked step needs n_steps >= 2 (use "
+                         "make_train_step for single steps)")
+    r1_interval = int(cfg["r1_interval"]) if "r1_interval" in cfg else 1
+    if str(cfg.loss_mode) == "r1" and r1_interval > 1:
+        raise ValueError("steps_per_dispatch > 1 requires r1_interval == 1 "
+                         "(lazy R1 needs per-step host cadence)")
+    base = make_train_step(cfg, scale_index, opt_g, opt_d, jit=False)
+
+    def chunk(state: TrainState, batches, alpha: jax.Array):
+        imgs = jnp.stack(list(batches))          # [k, B, H, W, C]
+
+        def body(carry, img):
+            new_state, _metrics, _images = base(carry, img, alpha)
+            return new_state, None
+
+        # scan the first k-1 steps (metrics/images discarded — no host
+        # action reads them mid-chunk), then run the last step outside the
+        # scan so its metrics/images return WITHOUT stacking k full-size
+        # image tensors.
+        state, _ = jax.lax.scan(body, state, imgs[:-1])
+        return base(state, imgs[-1], alpha)
+
+    if jit:
+        donate = (0,) if cfg.donate_buffers else ()
+        return jax.jit(chunk, donate_argnums=donate)
+    return chunk
+
+
+def resolve_steps_per_dispatch(cfg, scale_index: int) -> int:
+    """Chunk length for `steps_per_dispatch`. 1 disables. 'auto' enables
+    chunking where the per-step dispatch round trip rivals the device
+    step — resolutions ≤ 128² at the default depth table (device steps
+    ≤ ~60 ms vs a ~30 ms round trip on a remotely-attached chip;
+    measured table in BASELINE.md) — and stays at per-step dispatch
+    above, where the step itself dominates."""
+    v = cfg["steps_per_dispatch"] if "steps_per_dispatch" in cfg else 1
+    if v == "auto":
+        res = 2 ** (scale_index + 2)
+        return 8 if res <= 128 else 1
+    n = int(v)
+    if n < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {n}")
+    return n

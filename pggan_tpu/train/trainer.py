@@ -48,8 +48,10 @@ from pggan_tpu.train.schedule import ProgressiveSchedule
 from pggan_tpu.train.step import (
     TrainState,
     init_train_state,
+    make_chunked_train_step,
     make_optimizers,
     make_train_step,
+    resolve_steps_per_dispatch,
 )
 from pggan_tpu.utils import checkpoint as ckpt_lib
 from pggan_tpu.utils.image import save_image as save_image_grid
@@ -95,6 +97,9 @@ class ProgressiveGANTrainer:
         self.loss_collector: Optional[LossCollector] = None
         self.logger: Optional[MetricLogger] = None
         self._step_fn = None
+        self._chunk_fn = None
+        self._chunk_size = 1
+        self._chunks_dispatched = 0
         self._r1_interval = 1
         from concurrent.futures import ThreadPoolExecutor
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1,
@@ -209,11 +214,17 @@ class ProgressiveGANTrainer:
         if impl == "grain":
             from pggan_tpu.data.grain_pipeline import GrainPipeline
             pipeline_cls = GrainPipeline
+        # chunked dispatch drains `steps_per_dispatch` batches at once;
+        # deepen the prefetch queue so the producer can run ahead while
+        # the device executes the chunk
+        depth = max(int(self.cfg.prefetch_depth),
+                    resolve_steps_per_dispatch(
+                        self.cfg, self.schedule.scale_index) + 1)
         self._pipeline = pipeline_cls(
             self.dataset, batch,
             indices=self._train_indices,
             num_workers=int(self.cfg.num_data_workers),
-            prefetch_depth=int(self.cfg.prefetch_depth),
+            prefetch_depth=depth,
             seed=int(self.cfg.seed) + self.schedule.scale_index,
             shard_fn=lambda b: shard_batch(b, mesh),
             rank=jax.process_index(), num_replicas=jax.process_count())
@@ -267,6 +278,18 @@ class ProgressiveGANTrainer:
         self._r1_interval = interval if str(cfg.loss_mode) == "r1" else 1
         self._step_fn = make_train_step(
             cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
+        # Step chunking (steps_per_dispatch): run k steps per dispatched
+        # program inside event-free schedule windows — amortizes the
+        # per-step host→device round trip that dominates small scales
+        # end-to-end (make_chunked_train_step docstring / BASELINE.md).
+        self._chunk_size = resolve_steps_per_dispatch(
+            cfg, self.schedule.scale_index)
+        if self._chunk_size > 1 and self._r1_interval == 1:
+            self._chunk_fn = make_chunked_train_step(
+                cfg, self.schedule.scale_index, self.opt_g, self.opt_d,
+                self._chunk_size)
+        else:
+            self._chunk_fn = None
 
     # -- the hot loop ---------------------------------------------------------
     def load_next_batch(self):
@@ -285,6 +308,39 @@ class ProgressiveGANTrainer:
             self.state, metrics, images = self._step_fn(self.state, batch, alpha)
         self._last_metrics = metrics
         return images
+
+    def train_chunk(self, n_steps: int) -> Tuple[Any, Any]:
+        """`n_steps` fused iterations in ONE dispatched program
+        (make_chunked_train_step). Only called from event-free windows
+        (_chunk_window), where alpha is constant and no host action falls
+        between the chunk's steps."""
+        batches = [self.load_next_batch() for _ in range(n_steps)]
+        alpha = jnp.float32(self.schedule.alpha)
+        self.state, metrics, images = self._chunk_fn(
+            self.state, batches, alpha)
+        self._last_metrics = metrics
+        return images
+
+    def _chunk_window(self, step: int, total: int) -> int:
+        """Return self._chunk_size when steps [step, step+k) contain NO
+        host-action boundary — no log/image/validation/FID/checkpoint
+        cycle hit, no scale or alpha jump, not past `total` — else 1.
+        All-or-nothing (no variable-length chunks): each distinct chunk
+        length would compile its own program."""
+        k = self._chunk_size
+        if self._chunk_fn is None or k < 2 or step + k > total:
+            return 1
+        cfg = self.cfg
+        cycles = [int(cfg.loss_cycle), int(cfg.test_cycle),
+                  int(cfg.ckpt_cycle)]
+        if cfg.fid_cycle:
+            cycles.append(int(cfg.fid_cycle))
+        jumps = (self.schedule.next_scale_jump_step,
+                 self.schedule.next_alpha_jump_step)
+        for u in range(step, step + k):
+            if any(c > 0 and u % c == 0 for c in cycles) or u in jumps:
+                return 1
+        return k
 
     def fit(self, run_id: Optional[str] = None, *, max_step: Optional[int] = None):
         """The full training loop (`train.py:39-66`) with preemption
@@ -331,6 +387,17 @@ class ProgressiveGANTrainer:
                 if step % cfg.ckpt_cycle == 0 and step != start_step:
                     self.save_checkpoint(step)
                 self.check_jump(step)
+                chunk = self._chunk_window(step, total)
+                if chunk > 1:
+                    # k steps, one dispatch; no host action falls inside
+                    # the window, so every cycle/jump below still fires at
+                    # exactly its reference step (they land on steps the
+                    # window excluded).
+                    self._chunks_dispatched += 1
+                    images = self.train_chunk(chunk)
+                    step += chunk
+                    self.global_step = step
+                    continue
                 images = self.train_step()
 
                 if self.is_master and step % cfg.loss_cycle == 0:

@@ -43,6 +43,11 @@ def parse_args(argv=None):
                         choices=["auto", "folder", "synthetic"], default=None)
     parser.add_argument("--compute_dtype",
                         choices=["float32", "bfloat16"], default=None)
+    parser.add_argument("--steps_per_dispatch", default=None,
+                        help="fused steps per dispatched program in "
+                             "event-free schedule windows (int or 'auto'; "
+                             "1 = per-step dispatch). Amortizes the "
+                             "host→device round trip at small scales.")
     parser.add_argument("--platform", default=None,
                         help="pin the jax platform (e.g. cpu). NOTE: on this"
                              " image the JAX_PLATFORMS env var is latched at"
@@ -66,6 +71,10 @@ def main(argv=None):
         print("usage: python train.py {run_id} [--flags]", file=sys.stderr)
         return 2
     cfg.run_id = run_id
+    if ns.steps_per_dispatch is not None:
+        cfg["steps_per_dispatch"] = (
+            "auto" if ns.steps_per_dispatch == "auto"
+            else int(ns.steps_per_dispatch))
     for key in ("ckpt_id", "ckpt_step", "use_mGPU", "use_wandb", "max_step",
                 "loss_mode", "data_backend", "compute_dtype"):
         value = getattr(ns, key)

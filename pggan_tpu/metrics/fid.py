@@ -130,12 +130,13 @@ class RandomConvFeatures:
 # Statistics + end-to-end FID
 # ---------------------------------------------------------------------------
 
-def compute_activation_statistics(
+def compute_activations(
         batches: Iterable[np.ndarray],
         extractor: Callable[[jnp.ndarray], jnp.ndarray],
-        *, max_samples: Optional[int] = None
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Stream batches (NHWC in [-1,1] or uint8) → (μ [D], Σ [D,D])."""
+        *, max_samples: Optional[int] = None) -> np.ndarray:
+    """Stream batches (NHWC in [-1,1] or uint8) → feature matrix [n, D].
+    The raw features feed both FID (→ μ, Σ) and KID (→ kernel MMD), so one
+    extraction pass serves every metric."""
     extract = jax.jit(lambda im: extractor(im))
     feats = []
     seen = 0
@@ -150,6 +151,16 @@ def compute_activation_statistics(
     f = np.concatenate(feats, axis=0)
     if max_samples is not None:
         f = f[:max_samples]
+    return f
+
+
+def compute_activation_statistics(
+        batches: Iterable[np.ndarray],
+        extractor: Callable[[jnp.ndarray], jnp.ndarray],
+        *, max_samples: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream batches (NHWC in [-1,1] or uint8) → (μ [D], Σ [D,D])."""
+    f = compute_activations(batches, extractor, max_samples=max_samples)
     mu = f.mean(axis=0)
     sigma = np.cov(f, rowvar=False)
     return mu, sigma

@@ -424,10 +424,11 @@ class ProgressiveGANTrainer:
                     if cfg.use_validation:
                         self.validation(step)
                 if cfg.fid_cycle and step % cfg.fid_cycle == 0 and step:
-                    fid = self.compute_fid()
+                    gm = self.compute_generative_metrics()
                     if self.is_master:
-                        self.logger.log(step, {"fid": fid})
-                        print(f"step {step}: FID = {fid:.2f}")
+                        self.logger.log(step, gm)
+                        print(f"step {step}: FID = {gm['fid']:.2f}  "
+                              f"KID = {gm['kid']:.5f}")
                 step += 1
                 self.global_step = step
             self.save_checkpoint(step, wait=True)
@@ -585,18 +586,34 @@ class ProgressiveGANTrainer:
         return extractor
 
     def compute_fid(self, num_samples: Optional[int] = None) -> float:
-        """FID between generated samples and held-out (un-augmented) reals
-        at the current scale, using the configured extractor (random-conv
-        default, or InceptionV3 — see `_fid_extractor`).
+        """FID only — see `compute_generative_metrics` for the full set."""
+        return self.compute_generative_metrics(num_samples)["fid"]
+
+    def compute_generative_metrics(self, num_samples: Optional[int] = None
+                                   ) -> dict:
+        """Generative-quality metrics between generated samples and
+        held-out (un-augmented) reals at the current scale, from ONE
+        feature-extraction pass through the configured extractor
+        (random-conv default, or InceptionV3 — see `_fid_extractor`):
+
+          * `fid` — Fréchet distance between feature Gaussians. The
+            reference publishes no metric code (README.md:22-24 stub);
+            BASELINE.json names FID as the quality criterion.
+          * `kid` / `kid_std` — unbiased kernel MMD² (metrics/kid.py).
+            FID's level is bias-dominated at the n=29 reals this
+            environment ships; KID's unbiased estimator makes the level
+            meaningful at small n, which is why both are logged.
 
         Multi-host: every process calls this (fit does). All inputs are
         process-identical (fixed-seed latents, fixed-seed real-index
         draws), params are replicated over the global mesh, so the jitted
         sampler/extractor run SPMD and their fully-replicated outputs are
-        host-readable on every process — the statistics and the Fréchet
-        distance come out identical everywhere.
+        host-readable on every process — the statistics and the distances
+        come out identical everywhere.
         """
-        from pggan_tpu.metrics import fid_between_sets
+        from pggan_tpu.metrics import (compute_activations,
+                                       frechet_distance,
+                                       kid_between_features)
 
         cfg = self.cfg
         n = int(num_samples or cfg.fid_samples)
@@ -649,8 +666,15 @@ class ProgressiveGANTrainer:
                 done += take
 
         extractor = self._fid_extractor()
-        return fid_between_sets(real_batches(), fake_batches(), extractor,
-                                max_samples=n)
+        f_real = compute_activations(real_batches(), extractor,
+                                     max_samples=n)
+        f_fake = compute_activations(fake_batches(), extractor,
+                                     max_samples=n)
+        mu_r, sig_r = f_real.mean(0), np.cov(f_real, rowvar=False)
+        mu_f, sig_f = f_fake.mean(0), np.cov(f_fake, rowvar=False)
+        kid, kid_std = kid_between_features(f_real, f_fake)
+        return {"fid": frechet_distance(mu_r, sig_r, mu_f, sig_f),
+                "kid": kid, "kid_std": kid_std}
 
     def save_checkpoint(self, global_step: int, *, wait: bool = False):
         """Params + optimizer state + schedule + args, per net

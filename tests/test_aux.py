@@ -191,6 +191,81 @@ class TestFID:
         assert d_diff > d_same + 0.1
 
 
+class TestKID:
+    """metrics/kid.py — unbiased MMD² with the cubic polynomial kernel
+    (Bińkowski et al. 2018 §4: k(x,y) = (xᵀy/d + 1)³)."""
+
+    def test_matches_naive_double_loop(self):
+        # golden: the vectorized estimator vs a literal O(n²) transcription
+        # of the paper's formula
+        from pggan_tpu.metrics import mmd2_unbiased
+        rs = np.random.RandomState(0)
+        x = rs.randn(7, 5)
+        y = rs.randn(9, 5) + 0.3
+        k = lambda a, b: (a @ b / 5.0 + 1.0) ** 3
+        s_xx = sum(k(x[i], x[j]) for i in range(7) for j in range(7) if i != j)
+        s_yy = sum(k(y[i], y[j]) for i in range(9) for j in range(9) if i != j)
+        s_xy = sum(k(x[i], y[j]) for i in range(7) for j in range(9))
+        want = s_xx / (7 * 6) + s_yy / (9 * 8) - 2 * s_xy / (7 * 9)
+        got = mmd2_unbiased(x, y)
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_unbiased_near_zero_on_same_distribution(self):
+        # same-distribution disjoint halves: unbiased → mean ≈ 0 (can go
+        # slightly negative, unlike FID); different distribution → clearly
+        # positive and larger
+        from pggan_tpu.metrics import kid_between_features
+        rs = np.random.RandomState(1)
+        pool = rs.randn(400, 16)
+        same, _ = kid_between_features(pool[:200], pool[200:])
+        diff, _ = kid_between_features(pool[:200], rs.randn(200, 16) + 0.5)
+        assert abs(same) < 0.05
+        assert diff > same + 0.05
+
+    def test_small_n_level_is_meaningful(self):
+        # the reason KID exists here: at n=29, FID's level is dominated by
+        # covariance-estimator bias (identical distributions score >> 0)
+        # while KID's unbiased level stays near zero
+        from pggan_tpu.metrics import frechet_distance, kid_between_features
+        rs = np.random.RandomState(2)
+        a, b = rs.randn(29, 64), rs.randn(29, 64)
+        kid, _ = kid_between_features(a, b)
+        fid = frechet_distance(a.mean(0), np.cov(a, rowvar=False),
+                               b.mean(0), np.cov(b, rowvar=False))
+        assert abs(kid) < 0.05
+        assert fid > 1.0  # small-sample bias floor
+
+    def test_subset_resampling_and_clamp(self):
+        from pggan_tpu.metrics import kid_between_features
+        rs = np.random.RandomState(3)
+        a, b = rs.randn(50, 8), rs.randn(50, 8)
+        # subset_size covering both (equal-size) sides → degenerates to one
+        # full-set evaluation, no resampling noise to report
+        full, std0 = kid_between_features(a, b, subset_size=1000)
+        assert std0 == 0.0
+        # smaller subsets → resampled mean close to full, nonzero std
+        mean, std = kid_between_features(a, b, subset_size=32, n_subsets=50)
+        assert std > 0.0
+        assert mean == pytest.approx(full, abs=5 * std + 1e-6)
+
+    def test_end_to_end_sets(self):
+        from pggan_tpu.metrics import kid_between_sets
+        rs = np.random.RandomState(4)
+        real = [rs.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+                for _ in range(2)]
+        fake_diff = [np.zeros((8, 16, 16, 3), dtype=np.uint8)
+                     for _ in range(2)]
+        ex = RandomConvFeatures(feature_dim=64)
+        same, _ = kid_between_sets(iter(real), iter([r.copy() for r in real]), ex)
+        diff, _ = kid_between_sets(iter(real), iter(fake_diff), ex)
+        assert diff > same + 1e-3
+
+    def test_rejects_singleton_side(self):
+        from pggan_tpu.metrics import mmd2_unbiased
+        with pytest.raises(ValueError):
+            mmd2_unbiased(np.zeros((1, 4)), np.zeros((8, 4)))
+
+
 class TestZoo:
     def test_patch_discriminator(self):
         from pggan_tpu.models.zoo import (init_patch_discriminator,

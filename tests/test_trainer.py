@@ -135,7 +135,11 @@ class TestFIDHook:
             trainer.close()
         records = [json.loads(l) for l in open(
             os.path.join(cfg.save_root, "fid_log", "metrics.jsonl"))]
-        assert any("fid" in r for r in records)
+        fid_records = [r for r in records if "fid" in r]
+        assert fid_records
+        # KID rides the same extraction pass (unbiased at small n —
+        # metrics/kid.py); both land in the same JSONL record
+        assert all("kid" in r and np.isfinite(r["kid"]) for r in fid_records)
 
 
 class TestResume:

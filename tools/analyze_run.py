@@ -98,7 +98,9 @@ def summarize(run_dir):
         "total_wall_h": round(
             (rows[-1]["time"] - rows[0]["time"]) / 3600, 2) if rows else 0,
         "stages": stages,
-        "fid": [{"step": r["step"], "fid": round(r["fid"], 2)} for r in fids],
+        "fid": [{"step": r["step"], "fid": round(r["fid"], 2),
+                 **({"kid": round(r["kid"], 5)} if "kid" in r else {})}
+                for r in fids],
         "val": [{"step": r["step"],
                  "val_L_D": round(r["val_L_D"], 3),
                  "val_L_G": round(r["val_L_G"], 3),
@@ -128,6 +130,10 @@ def main(argv=None):
     if doc["fid"]:
         print("\nFID trajectory:")
         print("  " + "  ".join(f"{r['step']}:{r['fid']}" for r in doc["fid"]))
+        if any("kid" in r for r in doc["fid"]):
+            print("KID trajectory (unbiased — level meaningful at small n):")
+            print("  " + "  ".join(f"{r['step']}:{r.get('kid', '-')}"
+                                   for r in doc["fid"]))
     if doc["val"]:
         last = doc["val"][-1]
         print(f"\nlast validation (step {last['step']}): "

@@ -1,0 +1,83 @@
+"""tools/train_watchdog.py — failure-detection + auto-resume supervisor.
+
+Behavioral test with a scripted fake trainer (no jax in any child): run 1
+writes one metrics line then hangs (simulating a device-service outage
+mid-run, the BASELINE.md round-3 failure); the watchdog must detect the
+stall, kill the exact PID, gate the restart on device probes, relaunch
+with the resume flag, and exit 0 when the resumed run completes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WATCHDOG = os.path.join(REPO, "tools", "train_watchdog.py")
+
+
+@pytest.fixture
+def fake_trainer(tmp_path):
+    script = tmp_path / "fake_train.py"
+    script.write_text(textwrap.dedent("""\
+        import json, os, sys, time
+        run_dir = sys.argv[1]
+        os.makedirs(os.path.join(run_dir, "ckpt"), exist_ok=True)
+        open(os.path.join(run_dir, "ckpt", "G_latest.npz"), "w").close()
+        with open(os.path.join(run_dir, "argv.log"), "a") as fh:
+            fh.write(json.dumps(sys.argv[1:]) + "\\n")
+        with open(os.path.join(run_dir, "metrics.jsonl"), "a") as fh:
+            fh.write('{"step": 1}\\n')
+        marker = os.path.join(run_dir, "ran_once")
+        if os.path.exists(marker):
+            sys.exit(0)                       # resumed run: completes
+        open(marker, "w").close()
+        time.sleep(300)                        # first run: hangs (outage)
+    """))
+    return script
+
+
+class TestWatchdog:
+    def test_stall_kill_probe_resume_complete(self, tmp_path, fake_trainer):
+        run_dir = tmp_path / "wd" / "run1"
+        proc = subprocess.run(
+            [sys.executable, WATCHDOG, "run1",
+             "--save_root", str(tmp_path / "wd"),
+             "--train_cmd", f"{sys.executable} {fake_trainer} {run_dir}",
+             "--probe_cmd", "true",
+             "--stall_s", "4", "--poll_s", "0.5", "--grace_s", "10",
+             "--probe_interval_s", "0.2",
+             "--log_file", str(tmp_path / "child.log")],
+            cwd=REPO, capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        out = proc.stdout
+        assert "STALL" in out                  # outage detected
+        assert "SIGTERM" in out                # exact-pid kill
+        assert "device probe OK (2/2)" in out  # probe-gated restart
+        assert "training completed (rc=0)" in out
+
+        launches = [json.loads(l) for l in
+                    (run_dir / "argv.log").read_text().splitlines()]
+        # single-core CI contention can stall-kill a launch before its
+        # marker write, costing an extra cycle — what matters is that the
+        # final launch resumed from `latest` and completed
+        assert len(launches) >= 2
+        assert "--ckpt_id" in launches[-1] and "run1" in launches[-1]
+
+    def test_gives_up_after_max_restarts(self, tmp_path):
+        crash = tmp_path / "crash.py"
+        crash.write_text("import sys; sys.exit(3)\n")
+        proc = subprocess.run(
+            [sys.executable, WATCHDOG, "run2",
+             "--save_root", str(tmp_path / "wd"),
+             "--train_cmd", f"{sys.executable} {crash}",
+             "--probe_cmd", "true",
+             "--poll_s", "0.2", "--probe_interval_s", "0.1",
+             "--max_restarts", "2",
+             "--log_file", str(tmp_path / "child.log")],
+            cwd=REPO, capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 1
+        assert "giving up after 2 restarts" in proc.stdout

@@ -48,8 +48,12 @@ class TestWatchdog:
              "--save_root", str(tmp_path / "wd"),
              "--train_cmd", f"{sys.executable} {fake_trainer} {run_dir}",
              "--probe_cmd", "true",
-             "--stall_s", "4", "--poll_s", "0.5", "--grace_s", "10",
-             "--probe_interval_s", "0.2",
+             # stall_s must exceed worst-case python startup of the resumed
+             # child under single-core CI contention (a loaded box has been
+             # observed to take >4s to reach the metrics write, which
+             # stall-kills every healthy relaunch until max_restarts)
+             "--stall_s", "20", "--poll_s", "0.5", "--grace_s", "10",
+             "--probe_interval_s", "0.2", "--max_restarts", "6",
              "--log_file", str(tmp_path / "child.log")],
             cwd=REPO, capture_output=True, text=True, timeout=300)
         assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -148,10 +148,8 @@ def main(argv=None):
     from pggan_tpu.train.step import (init_train_state, make_optimizers,
                                       make_train_step)
 
-    # reference depth law (configs.yaml:50): 512 through scale 3, then
-    # halve, floored at 16 — valid for any scale (512/1024 extensions)
-    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
-              for s in range(max(ns.scale + 1, 7))]
+    from pggan_tpu.config import default_depths
+    depths = default_depths(ns.scale)
     scale = ns.scale
     res = 2 ** (scale + 2)
     devices = jax.devices()

@@ -148,6 +148,18 @@ _DEFAULTS: Dict[str, Any] = {
 }
 
 
+def default_depths(max_scale: int) -> list:
+    """Reference depth law (configs.yaml:50 generalized): 512 through
+    scale 3, then halve per scale, floored at 16 — valid for any scale
+    (covers the 512²/1024² extensions beyond the reference's 256² table).
+    Always returns at least the reference's 7 entries so lower scales see
+    the exact published schedule. Single source of truth for the bench /
+    profiling tools (bench.py, tools/bench_e2e.py, tools/bench_serving.py,
+    tools/profile_scale.py)."""
+    return [512 if s <= 3 else max(16, 512 >> (s - 3))
+            for s in range(max(max_scale + 1, 7))]
+
+
 class Config:
     """Attribute-style config object over a plain dict.
 

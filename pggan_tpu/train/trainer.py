@@ -58,12 +58,16 @@ from pggan_tpu.utils.image import save_image as save_image_grid
 from pggan_tpu.utils.logging import MetricLogger
 
 
-def _unpack_image_np(img: np.ndarray) -> np.ndarray:
+def _unpack_image_np(img: np.ndarray, packed: bool) -> np.ndarray:
     """Host-side depth_to_space2 for packed sample-grid images
     ([B,h,w,12] → [B,2h,2w,3], (a,b)-row-major groups — the inverse of
-    `ops/packed.space_to_depth2`); images already in RGB pass through."""
-    if img.ndim != 4 or img.shape[-1] % 4 != 0 or img.shape[-1] == 3:
+    `ops/packed.space_to_depth2`). `packed` comes from the caller's
+    resolve_hires_pack — packedness must NOT be inferred from the channel
+    count (a genuine output_dim=4 unpacked image is divisible by 4 and
+    would be scrambled by a shape-sniffing heuristic)."""
+    if not packed:
         return img
+    assert img.ndim == 4 and img.shape[-1] % 4 == 0, img.shape
     b, h, w, c4 = img.shape
     c = c4 // 4
     v = img.reshape(b, h, w, 2, 2, c)
@@ -284,7 +288,19 @@ class ProgressiveGANTrainer:
         # end-to-end (make_chunked_train_step docstring / BASELINE.md).
         self._chunk_size = resolve_steps_per_dispatch(
             cfg, self.schedule.scale_index)
-        if self._chunk_size > 1 and self._r1_interval == 1:
+        if self._chunk_size > 1 and self._r1_interval > 1:
+            # 'auto' quietly degrades to per-step dispatch (lazy R1 varies
+            # the program across the window); an EXPLICIT request must not
+            # be silently dropped — same error make_chunked_train_step
+            # raises for the combination.
+            if cfg["steps_per_dispatch"] != "auto":
+                raise ValueError(
+                    "steps_per_dispatch > 1 is incompatible with "
+                    "r1_interval > 1 (lazy R1 changes the program "
+                    "within the dispatch window); use "
+                    "steps_per_dispatch: auto or r1_interval: 1")
+            self._chunk_size = 1
+        if self._chunk_size > 1:
             self._chunk_fn = make_chunked_train_step(
                 cfg, self.schedule.scale_index, self.opt_g, self.opt_d,
                 self._chunk_size)
@@ -452,9 +468,11 @@ class ProgressiveGANTrainer:
         # At hires_pack the step returns images PACKED [B,R/2,R/2,12]
         # (unpacking device-side on every step cost ~14 ms for outputs
         # read once per image_cycle); undo the space-to-depth here.
+        from pggan_tpu.train.step import resolve_hires_pack
+        packed = resolve_hires_pack(self.cfg, self.schedule.scale_index) >= 1
         save_image_grid(self.cfg.save_root, self.cfg.run_id, step, "imgs",
-                        [_unpack_image_np(local_numpy(real)),
-                         _unpack_image_np(local_numpy(fake))])
+                        [_unpack_image_np(local_numpy(real), packed),
+                         _unpack_image_np(local_numpy(fake), packed)])
 
     def validation(self, step: int):
         """Multi-batch held-out evaluation — the reference declares a
@@ -485,6 +503,7 @@ class ProgressiveGANTrainer:
         if self._val_fn is None:    # cached per scale (_fresh_state resets)
             from pggan_tpu.models import discriminator_apply, generator_apply
             from pggan_tpu.losses.gan import bce_with_logits, generator_loss
+            from pggan_tpu.ops import downscale2d, upscale2d
             compute_dtype = (jnp.bfloat16
                              if str(cfg.compute_dtype) == "bfloat16"
                              else jnp.float32)
@@ -497,8 +516,17 @@ class ProgressiveGANTrainer:
                         fused_scale=cfg.fused_scale,
                         compute_dtype=compute_dtype)
             w_adv = float(cfg.W_adv)
+            fade_real = self.schedule.scale_index > 0
 
             def _eval(params_G, params_D, real, z, alpha):
+                if fade_real:
+                    # evaluate D on the SAME real distribution training
+                    # feeds it: the alpha-blended fade
+                    # (pggan/model.py:217-221 / step.py real fade-in) —
+                    # un-faded reals would make val_L_D diverge from the
+                    # held-out analog of L_D during every fade
+                    low = upscale2d(downscale2d(real, 2), 2)
+                    real = (1.0 - alpha) * low + alpha * real
                 logit_real = discriminator_apply(params_D, real, alpha,
                                                  **d_kw)
                 fake = generator_apply(params_G, z, alpha, **g_kw)

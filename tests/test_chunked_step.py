@@ -133,6 +133,26 @@ class TestResolvePolicy:
         with pytest.raises(ValueError):
             resolve_steps_per_dispatch(_cfg(steps_per_dispatch=0), 2)
 
+    def test_trainer_rejects_explicit_chunk_with_lazy_r1(self, tmp_path):
+        # an EXPLICIT steps_per_dispatch > 1 with lazy R1 must raise (the
+        # trainer used to drop it silently while the direct
+        # make_chunked_train_step API raised for the same combination);
+        # 'auto' degrades to per-step dispatch without error
+        from pggan_tpu import Config
+        from pggan_tpu.registry import create_model
+        base = dict(depths=[16, 16], latent_dim=32, batch_per_gpu=1,
+                    save_root=str(tmp_path / "r"),
+                    data_backend="synthetic", synthetic_dataset_size=8,
+                    num_data_workers=0, use_mGPU=True,
+                    loss_mode="r1", r1_interval=4)
+        with pytest.raises(ValueError, match="r1_interval"):
+            create_model(Config(dict(base, steps_per_dispatch=4)))
+        tr = create_model(Config(dict(base, steps_per_dispatch="auto")))
+        try:
+            assert tr._chunk_fn is None and tr._chunk_size == 1
+        finally:
+            tr.close()
+
 
 def _smoke_cfg(tmp_path, **over):
     return Config({

@@ -201,16 +201,19 @@ class TestDiscriminatorPacked:
         fn = make_train_step(cfg, 2, og, od)
         _, _, (real_p, fake_p) = fn(state, img, jnp.float32(0.3))
         assert real_p.shape == (8, 8, 8, 12) and fake_p.shape == (8, 8, 8, 12)
-        real = _unpack_image_np(np.asarray(real_p))
+        real = _unpack_image_np(np.asarray(real_p), packed=True)
         assert real.shape == (8, 16, 16, 3)
         # the unpacked real equals the faded normalized input: re-pack it
         # and compare against the step's packed output
         np.testing.assert_allclose(
             np.asarray(space_to_depth2(jnp.asarray(real))),
             np.asarray(real_p), rtol=1e-6, atol=1e-6)
-        # passthrough for unpacked RGB
+        # passthrough when the caller says the image is not packed — even
+        # for channel counts divisible by 4 (output_dim=4 is a real config)
         rgb = np.zeros((2, 4, 4, 3), np.float32)
-        assert _unpack_image_np(rgb) is rgb
+        assert _unpack_image_np(rgb, packed=False) is rgb
+        rgba = np.zeros((2, 4, 4, 4), np.float32)
+        assert _unpack_image_np(rgba, packed=False) is rgba
 
     @pytest.mark.parametrize("levels", [1, 2])
     def test_generator_packed_matches_unpacked(self, levels):
@@ -253,8 +256,8 @@ class TestDiscriminatorPacked:
         from pggan_tpu import Config
         from pggan_tpu.train.step import resolve_hires_pack
 
-        depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
-                  for s in range(9)]
+        from pggan_tpu.config import default_depths
+        depths = default_depths(8)
         cfg = Config({"depths": depths})
         assert resolve_hires_pack(cfg, 6) == 0  # 256² → res too small
         assert resolve_hires_pack(cfg, 7) == 1  # 512²/d32 only

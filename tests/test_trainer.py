@@ -98,6 +98,47 @@ class TestValidation:
         assert all(r["val_L_D"] > 0 and r["val_L_G"] > 0 for r in val)
 
 
+    def test_validation_fades_reals_like_training(self, tmp_path):
+        """During a fade, training feeds D alpha-blended reals
+        (step.py real fade-in, pggan/model.py:217-221); validation must
+        evaluate on the SAME distribution or val_L_D diverges from the
+        held-out analog of L_D for reasons unrelated to fit."""
+        import jax.numpy as jnp
+        from pggan_tpu.models import discriminator_apply
+        from pggan_tpu.ops import downscale2d, upscale2d
+
+        cfg = smoke_cfg(tmp_path, use_validation=True, test_cycle=2)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("val_fade", max_step=6)     # scale 1 (jump at 4)
+            assert trainer.schedule.scale_index == 1
+            trainer.validation(6)                   # builds _val_fn
+            rs = np.random.RandomState(0)
+            real = jnp.asarray(rs.uniform(-1, 1, (8, 8, 8, 3)), jnp.float32)
+            z = jnp.zeros((8, 32), jnp.float32)
+            alpha = jnp.float32(0.5)
+            got = trainer._val_fn(trainer.state.params_G,
+                                  trainer.state.params_D, real, z, alpha)
+            faded = 0.5 * upscale2d(downscale2d(real, 2), 2) + 0.5 * real
+            want = discriminator_apply(
+                trainer.state.params_D, faded, alpha,
+                slope=float(cfg.LReLU_slope),
+                apply_minibatch_norm=bool(cfg.apply_minibatch_norm),
+                compute_dtype=jnp.bfloat16)
+            unfaded = discriminator_apply(
+                trainer.state.params_D, real, alpha,
+                slope=float(cfg.LReLU_slope),
+                apply_minibatch_norm=bool(cfg.apply_minibatch_norm),
+                compute_dtype=jnp.bfloat16)
+            want_f = float(jnp.mean(want.astype(jnp.float32)))
+            want_u = float(jnp.mean(unfaded.astype(jnp.float32)))
+            # rtol tolerates bf16 jit-vs-eager rounding (~1e-3 observed);
+            # the faded/unfaded separation is ~300x larger
+            np.testing.assert_allclose(float(got[0]), want_f, rtol=5e-3)
+            assert abs(float(got[0]) - want_f) < abs(float(got[0]) - want_u)
+        finally:
+            trainer.close()
+
     def test_validation_survives_scale_jump(self, tmp_path):
         # Regression: the validation pipeline must be rebuilt when a scale
         # jump changes the dataset resolution — a stale pipeline feeds

@@ -50,8 +50,8 @@ def main(argv=None):
 
     spd = ("auto" if ns.steps_per_dispatch == "auto"
            else int(ns.steps_per_dispatch))
-    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
-              for s in range(max(ns.scale + 1, 7))]
+    from pggan_tpu.config import default_depths
+    depths = default_depths(ns.scale)
     cfg = Config({
         "depths": depths,
         "batch_per_gpu": ns.batch,

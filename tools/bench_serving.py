@@ -61,8 +61,8 @@ def run_one(ns):
 
     from pggan_tpu.models import generator_apply, init_generator_params
 
-    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
-              for s in range(max(ns.scale + 1, 7))]
+    from pggan_tpu.config import default_depths
+    depths = default_depths(ns.scale)
     res = 2 ** (ns.scale + 2)
     dtype = jnp.bfloat16 if ns.compute_dtype == "bfloat16" else jnp.float32
 
@@ -156,7 +156,11 @@ def run_all(ns):
         for mode in (["direct", "artifact"] if scale == 6 else ["direct"]):
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--scale", str(scale), "--batch", str(batch),
-                   "--steps", str(ns.steps), "--mode", mode]
+                   "--steps", str(ns.steps), "--mode", mode,
+                   "--warmup", str(ns.warmup),
+                   "--compute_dtype", ns.compute_dtype,
+                   "--fused_scale", str(ns.fused_scale),
+                   "--hires_pack", str(ns.hires_pack)]
             if ns.platform:
                 cmd += ["--platform", ns.platform]
             print(f"[serving] scale {scale} ({2**(scale+2)}px) {mode} "

@@ -6,7 +6,7 @@ subprocess: two loss modes at the same scale have identical input
 signatures but different HLO, and this environment's remote compile
 service deadlocks if one process compiles both (see
 .claude/skills/verify/SKILL.md). Per-scale batch follows BASELINE.md's
-schedule (16 through 256², 8 at 512², 4 at 1024²).
+round-3 schedule (16 through 512², 8 at 1024² — see DEFAULT_BATCH).
 
 Emits one JSON document on stdout (every row + the bench metadata) and a
 ready-to-paste markdown table on stderr, so BASELINE.md's table carries a

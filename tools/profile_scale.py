@@ -31,9 +31,8 @@ def main():
     from pggan_tpu.parallel import create_mesh, replicate, shard_batch
     from pggan_tpu.train.step import init_train_state, make_optimizers, make_train_step
 
-    # reference depth law: 512 through scale 3, then halve, floored at 16
-    depths = [512 if s <= 3 else max(16, 512 >> (s - 3))
-              for s in range(max(ns.scale + 1, 7))]
+    from pggan_tpu.config import default_depths
+    depths = default_depths(ns.scale)
     res = 2 ** (ns.scale + 2)
     cfg = Config({"depths": depths, "latent_dim": 512,
                   "compute_dtype": "bfloat16", "loss_mode": ns.loss_mode,

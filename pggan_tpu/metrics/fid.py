@@ -140,12 +140,22 @@ def compute_activations(
     extract = jax.jit(lambda im: extractor(im))
     feats = []
     seen = 0
+    lead = None
     for batch in batches:
         batch = np.asarray(batch)
         if batch.dtype == np.uint8:
             batch = batch.astype(np.float32) / 127.5 - 1.0
-        feats.append(np.asarray(extract(jnp.asarray(batch))))
-        seen += batch.shape[0]
+        # pad a ragged trailing batch up to the established batch shape
+        # and slice its features back out: extractors are per-sample, and
+        # one odd shape would cost a second remote compile per scale
+        n_b = batch.shape[0]
+        if lead is None:
+            lead = n_b
+        elif n_b < lead:
+            pad = np.repeat(batch[:1], lead - n_b, axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        feats.append(np.asarray(extract(jnp.asarray(batch)))[:n_b])
+        seen += n_b
         if max_samples is not None and seen >= max_samples:
             break
     f = np.concatenate(feats, axis=0)

@@ -684,14 +684,19 @@ class ProgressiveGANTrainer:
                     print("[pggan_tpu] FID reals: valid split smaller than "
                           "one batch — falling back to train indices")
             rs = np.random.RandomState(0)
-            done = 0
-            while done < n:
-                take = min(batch, n - done)
-                sel = rs.choice(indices, size=take, replace=True)
+            # each unique real at most ONCE: resampling with replacement
+            # to n duplicated rows, which biases KID's within-real sum
+            # (identical off-diagonal pairs inflate k_rr — the estimator
+            # is only unbiased over distinct draws) and collapsed its
+            # subset error bar (both sides at n → single evaluation,
+            # kid_std 0); FID's mean/cov need no fixed count either
+            sel_all = (np.asarray(indices) if len(indices) <= n
+                       else rs.choice(indices, size=n, replace=False))
+            for start in range(0, len(sel_all), batch):
+                sel = sel_all[start:start + batch]
                 yield np.stack([
                     eval_ds.get(int(i), np.random.RandomState(int(i)))
                     for i in sel])
-                done += take
 
         extractor = self._fid_extractor()
         f_real = compute_activations(real_batches(), extractor,

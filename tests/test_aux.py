@@ -265,6 +265,21 @@ class TestKID:
         with pytest.raises(ValueError):
             mmd2_unbiased(np.zeros((1, 4)), np.zeros((8, 4)))
 
+    def test_compute_activations_ragged_tail_batch(self):
+        # a short trailing batch (e.g. 29 reals at batch 8 → 8,8,8,5) is
+        # padded to the lead batch shape for extraction (one compile per
+        # scale) and its features sliced back — exact because extractors
+        # are per-sample
+        from pggan_tpu.metrics import compute_activations
+        ex = RandomConvFeatures(feature_dim=32)
+        rs = np.random.RandomState(7)
+        imgs = rs.uniform(-1, 1, (29, 16, 16, 3)).astype(np.float32)
+        ragged = [imgs[0:8], imgs[8:16], imgs[16:24], imgs[24:29]]
+        f = compute_activations(iter(ragged), ex)
+        assert f.shape[0] == 29
+        f_whole = compute_activations(iter([imgs]), ex)
+        np.testing.assert_allclose(f, f_whole, rtol=1e-5, atol=1e-5)
+
 
 class TestZoo:
     def test_patch_discriminator(self):

@@ -167,6 +167,45 @@ class TestFIDHook:
         finally:
             trainer.close()
 
+    def test_metric_reals_used_at_most_once(self, tmp_path):
+        """When the real pool is smaller than fid_samples, each unique
+        real must appear at most once in the metric features: resampling
+        with replacement biased KID's within-real kernel sum (duplicate
+        rows are identical off-diagonal pairs) and collapsed its subset
+        error bar to 0."""
+        cfg = smoke_cfg(tmp_path, synthetic_dataset_size=40)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("kid_run", max_step=3)
+            # valid split of 40 → 12 reals, >= the batch floor of 8 (so
+            # the valid split is used) and < the 48 requested samples
+            n_reals = len(trainer._valid_indices)
+            assert 8 <= n_reals < 48
+            from pggan_tpu.metrics import compute_activations
+            captured = {}
+            orig = compute_activations
+
+            def spy(batches, extractor, **kw):
+                f = orig(batches, extractor, **kw)
+                captured.setdefault("sizes", []).append(f.shape[0])
+                return f
+
+            import pggan_tpu.train.trainer as trainer_mod
+            import pggan_tpu.metrics as metrics_mod
+            old = metrics_mod.compute_activations
+            metrics_mod.compute_activations = spy
+            try:
+                m = trainer.compute_generative_metrics(num_samples=48)
+            finally:
+                metrics_mod.compute_activations = old
+            # first extraction pass is the reals: exactly the unique pool
+            assert captured["sizes"][0] == n_reals
+            assert captured["sizes"][1] == 48          # fakes at full n
+            # unequal sides → subset resampling is live again
+            assert np.isfinite(m["kid"]) and m["kid_std"] > 0
+        finally:
+            trainer.close()
+
     def test_fid_cycle_logs_metric(self, tmp_path):
         cfg = smoke_cfg(tmp_path, fid_cycle=2, fid_samples=16)
         trainer = create_model(cfg)

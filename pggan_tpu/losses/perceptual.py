@@ -89,6 +89,18 @@ class PerceptualDistance:
                     "VALID")
         return feats
 
+    @classmethod
+    def from_torch_state_dict(cls, sd) -> "PerceptualDistance":
+        """Build directly from a torch `LPIPS().state_dict()` (see
+        `convert_lpips_state_dict`)."""
+        arrays = convert_lpips_state_dict(sd)
+        self = cls(linear_weights=[arrays[f"lin{i}"] for i in range(5)])
+        self.backbone = [
+            {"w": jnp.asarray(arrays[f"conv{i}_w"]),
+             "b": jnp.asarray(arrays[f"conv{i}_b"])}
+            for i in range(5)]
+        return self
+
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Mean perceptual distance between NHWC batches in [-1, 1]
         (structure of `lpips.py:41-58`: unit-normalize channels, weighted
@@ -101,3 +113,32 @@ class PerceptualDistance:
             d = jnp.sum(d * lin.astype(d.dtype), axis=-1)  # learned 1×1
             total = total + jnp.mean(d, axis=(1, 2))      # spatial avg
         return jnp.mean(total)
+
+
+# torchvision `alexnet().features` conv module indices (Sequential with
+# interleaved ReLU/MaxPool), i.e. the keys inside `AlexNet.layers`
+_TORCH_ALEXNET_CONV_IDX = (0, 3, 6, 8, 10)
+
+
+def convert_lpips_state_dict(sd):
+    """torch `LPIPS().state_dict()` (`submodel/lpips.py:6-23` — the module
+    the reference fills from `ptnn/lpips_weights.ckpt`) → the npz key
+    convention of `load_backbone_weights` / `load_linear_weights`:
+
+      * `alexnet.layers.{0,3,6,8,10}.weight` OIHW → `conv{i}_w` HWIO,
+        `.bias` → `conv{i}_b`
+      * `lpips_weights.{i}.main.1.weight` [1,C,1,1] (a bias-free 1×1 conv,
+        `lpips.py:63-70`) → `lin{i}` [C]
+
+    `np.savez(path, **convert_lpips_state_dict(sd))` produces one file
+    that both loader hooks accept.
+    """
+    out = {}
+    for i, idx in enumerate(_TORCH_ALEXNET_CONV_IDX):
+        out[f"conv{i}_w"] = np.transpose(
+            np.asarray(sd[f"alexnet.layers.{idx}.weight"]), (2, 3, 1, 0))
+        out[f"conv{i}_b"] = np.asarray(sd[f"alexnet.layers.{idx}.bias"])
+    for i in range(5):
+        out[f"lin{i}"] = np.asarray(
+            sd[f"lpips_weights.{i}.main.1.weight"]).reshape(-1)
+    return out

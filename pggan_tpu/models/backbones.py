@@ -329,3 +329,127 @@ def irse_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     emb = y @ params["head"]["w"] + params["head"]["b"]
     emb = _bn(params["head_bn1d"], emb)
     return emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True) + 1e-10)
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict converters (weight portability — PARITY.md §2d)
+#
+# Every converter emits a flat {pytree-path: np.ndarray} dict that loads via
+# `utils.checkpoint.arrays_to_tree(init_*(...), out, strict=True)`. Layout
+# transforms: conv weights OIHW→HWIO, 1×1-conv-as-linear [out,in,1,1]→[in,out],
+# nn.Linear [out,in]→[in,out]; BatchNorm {weight,bias,running_mean,running_var}
+# → {scale,bias,mean,var}; `num_batches_tracked` buffers dropped.
+# ---------------------------------------------------------------------------
+
+def _np(v):
+    import numpy as np
+    return np.asarray(v)
+
+
+def _np_conv_w(sd, key):
+    """torch Conv2d weight OIHW → HWIO."""
+    import numpy as np
+    return np.transpose(_np(sd[key]), (2, 3, 1, 0))
+
+
+def _put_torch_bn(out, path: str, sd, prefix: str):
+    out[f"{path}/scale"] = _np(sd[prefix + ".weight"])
+    out[f"{path}/bias"] = _np(sd[prefix + ".bias"])
+    out[f"{path}/mean"] = _np(sd[prefix + ".running_mean"])
+    out[f"{path}/var"] = _np(sd[prefix + ".running_var"])
+
+
+def convert_irse_trunk_state_dict(sd, out, *, num_layers: int = 50,
+                                  torch_prefix: str = "") -> None:
+    """Map the torch IR-SE stem+body (`arcface.py:96-115` input_layer/body —
+    the identical module tree appears in `e4e.py:192-202`) into `out` under
+    `stem/...` and `stages/{s}/{b}/...` (the `init_irse_stem` /
+    `init_irse_stages` pytree)."""
+    t = torch_prefix
+    out["stem/w"] = _np_conv_w(sd, f"{t}input_layer.0.weight")
+    _put_torch_bn(out, "stem/bn", sd, f"{t}input_layer.1")
+    out["stem/prelu"] = _np(sd[f"{t}input_layer.2.weight"])
+
+    flat, c_in = 0, 64
+    for s, (width, count) in enumerate(_IRSE_STAGES[num_layers]):
+        for b in range(count):
+            p = f"stages/{s}/{b}"
+            tb = f"{t}body.{flat}"
+            _put_torch_bn(out, f"{p}/bn0", sd, f"{tb}.res_layer.0")
+            out[f"{p}/conv1/w"] = _np_conv_w(sd, f"{tb}.res_layer.1.weight")
+            out[f"{p}/prelu"] = _np(sd[f"{tb}.res_layer.2.weight"])
+            out[f"{p}/conv2/w"] = _np_conv_w(sd, f"{tb}.res_layer.3.weight")
+            _put_torch_bn(out, f"{p}/bn2", sd, f"{tb}.res_layer.4")
+            # SE 1×1 convs act on the pooled vector: out[o]=Σᵢ W[o,i]·x[i]
+            # ≡ x @ W.T under the `se @ w` convention in irse_block_apply
+            out[f"{p}/se_fc1/w"] = \
+                _np(sd[f"{tb}.res_layer.5.fc1.weight"])[:, :, 0, 0].T
+            out[f"{p}/se_fc2/w"] = \
+                _np(sd[f"{tb}.res_layer.5.fc2.weight"])[:, :, 0, 0].T
+            if c_in != width:
+                out[f"{p}/down/w"] = _np_conv_w(
+                    sd, f"{tb}.shortcut_layer.0.weight")
+                _put_torch_bn(out, f"{p}/down_bn", sd,
+                              f"{tb}.shortcut_layer.1")
+            flat, c_in = flat + 1, width
+
+
+def convert_arcface_state_dict(sd, *, num_layers: int = 50):
+    """torch `Backbone(num_layers, drop, 'ir_se').state_dict()`
+    (`arcface.py:89-118`) → flat path dict for
+    `arrays_to_tree(init_irse(...), out, strict=True)`.
+
+    output_layer indices (`arcface.py:99-103`: Sequential(BN2d, Dropout,
+    Flatten, Linear, BN1d)): `.0` → head_bn2d, `.3` → head (torch Linear
+    [out,in] → [in,out]; the flatten order is NCHW, matched by
+    `irse_apply`'s transpose-then-reshape), `.4` → head_bn1d."""
+    out: Dict[str, Any] = {}
+    convert_irse_trunk_state_dict(sd, out, num_layers=num_layers)
+    _put_torch_bn(out, "head_bn2d", sd, "output_layer.0")
+    out["head/w"] = _np(sd["output_layer.3.weight"]).T
+    out["head/b"] = _np(sd["output_layer.3.bias"])
+    _put_torch_bn(out, "head_bn1d", sd, "output_layer.4")
+    return out
+
+
+def _convert_resnet_trunk(sd, out, *, layers: Sequence[int],
+                          bottleneck: bool, torch_prefix: str = "") -> None:
+    """torchvision-style ResNet keys (`conv1/bn1/layer{1..4}.{b}.*` — the
+    scheme shared by BiSeNet's Resnet18 `submodel/resnet.py:10-89` and
+    Deep3DMM's vendored ResNet `submodel/deep3dmm.py:398-505`) → the
+    `init_resnet18`/`init_resnet50` pytree paths."""
+    t = torch_prefix
+    out["stem/w"] = _np_conv_w(sd, f"{t}conv1.weight")
+    _put_torch_bn(out, "stem/bn", sd, f"{t}bn1")
+    n_convs = 3 if bottleneck else 2
+    for s, count in enumerate(layers):
+        for b in range(count):
+            p = f"stages/{s}/{b}"
+            tb = f"{t}layer{s + 1}.{b}"
+            for i in range(1, n_convs + 1):
+                out[f"{p}/conv{i}/w"] = _np_conv_w(sd, f"{tb}.conv{i}.weight")
+                _put_torch_bn(out, f"{p}/bn{i}", sd, f"{tb}.bn{i}")
+            if f"{tb}.downsample.0.weight" in sd:
+                out[f"{p}/down/w"] = _np_conv_w(sd, f"{tb}.downsample.0.weight")
+                _put_torch_bn(out, f"{p}/down_bn", sd, f"{tb}.downsample.1")
+
+
+def convert_resnet18_state_dict(sd, *, torch_prefix: str = ""):
+    """torch ResNet-18 state_dict (torchvision key scheme — what BiSeNet's
+    `Resnet18.init_weight` loads, `submodel/resnet.py:34-40`) → flat path
+    dict for `arrays_to_tree(init_resnet18(...), out, strict=True)`.
+    A classifier `fc.{weight,bias}` (absent from our feature-pyramid tree)
+    is ignored, mirroring the reference's own `if 'fc' in k: continue`."""
+    out: Dict[str, Any] = {}
+    _convert_resnet_trunk(sd, out, layers=(2, 2, 2, 2), bottleneck=False,
+                          torch_prefix=torch_prefix)
+    return out
+
+
+def convert_resnet50_state_dict(sd, *, torch_prefix: str = ""):
+    """torch ResNet-50 (Bottleneck [3,4,6,3]) state_dict → flat path dict
+    for `arrays_to_tree(init_resnet50(...), out, strict=True)`."""
+    out: Dict[str, Any] = {}
+    _convert_resnet_trunk(sd, out, layers=_RESNET50_LAYERS, bottleneck=True,
+                          torch_prefix=torch_prefix)
+    return out

@@ -153,52 +153,19 @@ def convert_e4e_state_dict(sd, *, num_layers: int = 50, n_styles: int = 18,
     synthesized. `num_batches_tracked` buffers are dropped.
     """
     import numpy as np
-    from pggan_tpu.models.backbones import _IRSE_STAGES
+    from pggan_tpu.models.backbones import convert_irse_trunk_state_dict
 
     def conv_w(key):
         return np.transpose(np.asarray(sd[key]), (2, 3, 1, 0))   # OIHW→HWIO
-
-    def bn(prefix):
-        return {"scale": np.asarray(sd[prefix + ".weight"]),
-                "bias": np.asarray(sd[prefix + ".bias"]),
-                "mean": np.asarray(sd[prefix + ".running_mean"]),
-                "var": np.asarray(sd[prefix + ".running_var"])}
 
     out = {}
 
     def put(path, value):
         out[path] = np.asarray(value)
 
-    def put_bn(path, prefix):
-        for k, v in bn(prefix).items():
-            put(f"{path}/{k}", v)
-
-    put("stem/w", conv_w("input_layer.0.weight"))
-    put_bn("stem/bn", "input_layer.1")
-    put("stem/prelu", sd["input_layer.2.weight"])
-
-    flat = 0
-    c_in = 64
-    for s, (width, count) in enumerate(_IRSE_STAGES[num_layers]):
-        for b in range(count):
-            p = f"stages/{s}/{b}"
-            t = f"body.{flat}"
-            put_bn(f"{p}/bn0", f"{t}.res_layer.0")
-            put(f"{p}/conv1/w", conv_w(f"{t}.res_layer.1.weight"))
-            put(f"{p}/prelu", sd[f"{t}.res_layer.2.weight"])
-            put(f"{p}/conv2/w", conv_w(f"{t}.res_layer.3.weight"))
-            put_bn(f"{p}/bn2", f"{t}.res_layer.4")
-            # SE 1×1 convs act on the pooled vector: out[o]=Σᵢ W[o,i]x[i]
-            # ≡ x @ W.T with my `se @ w` convention
-            put(f"{p}/se_fc1/w",
-                np.asarray(sd[f"{t}.res_layer.5.fc1.weight"])[:, :, 0, 0].T)
-            put(f"{p}/se_fc2/w",
-                np.asarray(sd[f"{t}.res_layer.5.fc2.weight"])[:, :, 0, 0].T)
-            if c_in != width:
-                put(f"{p}/down/w", conv_w(f"{t}.shortcut_layer.0.weight"))
-                put_bn(f"{p}/down_bn", f"{t}.shortcut_layer.1")
-            flat += 1
-            c_in = width
+    # input_layer/body are the shared IR-SE trunk (`e4e.py:192-202` builds
+    # the identical module tree as ArcFace's Backbone) — one converter
+    convert_irse_trunk_state_dict(sd, out, num_layers=num_layers)
 
     for name in ("latlayer1", "latlayer2"):
         put(f"{name}/w", conv_w(f"{name}.weight"))

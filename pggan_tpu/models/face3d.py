@@ -245,3 +245,27 @@ def reconnet_apply(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     feat = jnp.mean(feat, axis=(1, 2))           # adaptive avg pool → 2048
     outs = [feat @ h["w"] + h["b"] for h in params["heads"]]
     return jnp.concatenate(outs, axis=-1)
+
+
+def convert_reconnet_state_dict(sd):
+    """torch `ReconNet().state_dict()` (`deep3dmm.py:509-539`,
+    use_last_fc=False) → flat path dict for
+    `arrays_to_tree(init_reconnet(...), out, strict=True)`.
+
+    `backbone.*` follows the torchvision ResNet-50 key scheme (the
+    reference vendors torchvision's ResNet verbatim, `deep3dmm.py:398-505`);
+    `final_layers.{i}` are 1×1 convs on the pooled [B,2048,1,1] map —
+    weight [d,2048,1,1] → the head matrix [2048,d], bias unchanged."""
+    import numpy as np
+
+    from pggan_tpu.models.backbones import convert_resnet50_state_dict
+
+    out = {}
+    for path, arr in convert_resnet50_state_dict(
+            sd, torch_prefix="backbone.").items():
+        out[f"backbone/{path}"] = arr
+    for i in range(len(_RECONNET_HEADS)):
+        w = np.asarray(sd[f"final_layers.{i}.weight"])   # [d, 2048, 1, 1]
+        out[f"heads/{i}/w"] = w[:, :, 0, 0].T
+        out[f"heads/{i}/b"] = np.asarray(sd[f"final_layers.{i}.bias"])
+    return out

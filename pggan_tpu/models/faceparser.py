@@ -123,3 +123,52 @@ def bisenet_apply(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     # boundaries and break torch parity for ported weights.
     from pggan_tpu.ops.resample import bilinear_align_corners
     return bilinear_align_corners(out, h, w)
+
+
+def convert_bisenet_state_dict(sd):
+    """torch `BiSeNet(n_classes).state_dict()` (`faceparser.py:190-207`) →
+    flat path dict for `arrays_to_tree(init_bisenet(...), out, strict=True)`.
+
+    Module-tree mapping (reference → this pytree):
+      * `cp.resnet.*` → `resnet/...` (torchvision ResNet-18 key scheme,
+        `submodel/resnet.py:10-40`)
+      * `cp.arm{16,32}.{conv,conv_atten,bn_atten}` → `arm{16,32}/{conv,atten}`
+      * `cp.{conv_avg,conv_head16,conv_head32}` → same names (ConvBNReLU:
+        `.conv.weight` + `.bn.*`, all convs bias-free, `faceparser.py:90-105`)
+      * `ffm.{convblk,conv1,conv2}` → `ffm/{conv,fc1,fc2}` (the 1×1
+        attention convs act on the pooled map; kept as 1×1 convs here so
+        the HWIO transpose is uniform)
+      * `conv_out.{conv,conv_out}` → `head/{conv,out}`
+      * `conv_out16.*` / `conv_out32.*` are DROPPED: they are the deep-
+        supervision heads of BiSeNet *training*; the reference's forward
+        never calls them (`faceparser.py:203-207` returns only the fused
+        head) and this inference tree does not carry them.
+    BatchNorm buffers map {weight,bias,running_mean,running_var} →
+    {scale,bias,mean,var}; `num_batches_tracked` is dropped.
+    """
+    from pggan_tpu.models.backbones import (_np, _np_conv_w, _put_torch_bn,
+                                            convert_resnet18_state_dict)
+
+    out = {}
+    for path, arr in convert_resnet18_state_dict(
+            sd, torch_prefix="cp.resnet.").items():
+        out[f"resnet/{path}"] = arr
+
+    def put_conv_bn_relu(path, tprefix):
+        out[f"{path}/w"] = _np_conv_w(sd, f"{tprefix}.conv.weight")
+        _put_torch_bn(out, f"{path}/bn", sd, f"{tprefix}.bn")
+
+    for arm in ("arm16", "arm32"):
+        put_conv_bn_relu(f"{arm}/conv", f"cp.{arm}.conv")
+        out[f"{arm}/atten/w"] = _np_conv_w(sd, f"cp.{arm}.conv_atten.weight")
+        _put_torch_bn(out, f"{arm}/atten/bn", sd, f"cp.{arm}.bn_atten")
+    for name in ("conv_avg", "conv_head16", "conv_head32"):
+        put_conv_bn_relu(name, f"cp.{name}")
+
+    put_conv_bn_relu("ffm/conv", "ffm.convblk")
+    out["ffm/fc1/w"] = _np_conv_w(sd, "ffm.conv1.weight")
+    out["ffm/fc2/w"] = _np_conv_w(sd, "ffm.conv2.weight")
+
+    put_conv_bn_relu("head/conv", "conv_out.conv")
+    out["head/out/w"] = _np_conv_w(sd, "conv_out.conv_out.weight")
+    return out

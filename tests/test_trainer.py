@@ -64,6 +64,28 @@ class TestEndToEnd:
         assert "L_D" in rec and "L_G" in rec and np.isfinite(rec["L_D"])
 
 
+class TestBatchSchedule:
+    def test_batch_switches_at_scale_jump(self, tmp_path):
+        """`batch_schedule` overrides the global batch per scale index
+        (BASELINE config #5 semantics: shrink at high res to fit HBM —
+        `global_batch_size`, parallel/mesh.py). The switch happens at the
+        scale jump: new pipeline batch, new step program, finite losses."""
+        cfg = smoke_cfg(tmp_path, batch_schedule={1: 16})
+        trainer = create_model(cfg)
+        try:
+            assert trainer.local_batch_size == 8       # 8 dev × 1
+            trainer.fit("bs", max_step=6)              # jump at 4 → scale 1
+            assert trainer.schedule.scale_index == 1
+            assert trainer.local_batch_size == 16
+            assert trainer._pipeline.batch_size == 16
+        finally:
+            trainer.close()
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.save_root, "bs", "metrics.jsonl"))]
+        stepped = [r for r in records if "L_D" in r]
+        assert stepped and all(np.isfinite(r["L_D"]) for r in stepped)
+
+
 class TestValidation:
     def test_use_validation_logs_metric(self, tmp_path):
         cfg = smoke_cfg(tmp_path, use_validation=True, test_cycle=2)

@@ -414,3 +414,38 @@ class TestCLI:
     def test_train_cli_requires_run_id(self, capsys):
         import train as train_cli
         assert train_cli.main(["--max_step", "1"]) == 2
+
+    def test_eval_metrics_cli(self, tmp_path, capsys):
+        """tools/eval_metrics.py: offline FID/KID for a saved checkpoint
+        through the resume load path — one JSON line with finite values
+        at the checkpoint's restored step/scale."""
+        cfg = smoke_cfg(tmp_path, fid_samples=8)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("eval_src", max_step=5)    # ckpt written at step 4
+        finally:
+            trainer.close()
+
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "eval_metrics",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "eval_metrics.py"))
+        tool = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tool)
+        import yaml
+        cfg_path = tmp_path / "eval_cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg.to_dict()))
+        rc = tool.main(["--ckpt_id", "eval_src",
+                        "--save_root", cfg.save_root,
+                        "--config", str(cfg_path),
+                        "--num_samples", "8"])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # fit() checkpoints once more on exit → `latest` is the final step
+        assert rec["ckpt_id"] == "eval_src" and rec["step"] == 5
+        # the run crossed the step-4 scale jump before its exit checkpoint
+        assert rec["scale"] == 1 and rec["resolution"] == 8
+        assert rec["extractor"] == "random_conv"
+        for key in ("fid", "kid", "kid_std"):
+            assert np.isfinite(rec[key])

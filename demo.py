@@ -96,10 +96,19 @@ def main(argv=None):
         print(f"wrote serving artifact (scale {scale}, alpha {alpha}) "
               f"to {ns.export}")
 
+    # Sample through the SAME packed program shape training used at
+    # hires_pack scales (≥512²) — the unpacked forward is the layout-copy
+    # pathology ops/packed.py exists to avoid; the host undoes the
+    # space-to-depth on the numpy output.
+    from pggan_tpu.train.step import resolve_hires_pack
+    from pggan_tpu.utils.image import unpack_space_to_depth
+    hp = resolve_hires_pack(args, scale)
     sample = jax.jit(lambda p, z: generator_apply(
         p, z, jnp.float32(alpha), slope=float(args.LReLU_slope),
         apply_pixel_norm=bool(args.apply_pixel_norm),
-        last_activation=args.generator_last_activation))
+        last_activation=args.generator_last_activation,
+        fused_scale=args.fused_scale,
+        hires_pack=hp, output_packed=hp >= 1))
 
     rng = jax.random.PRNGKey(ns.seed)
     written = 0
@@ -108,6 +117,8 @@ def main(argv=None):
         n = min(ns.batch_size, ns.n_samples - written)
         z = jax.random.normal(key, (n, int(args.latent_dim)))
         imgs = np.asarray(sample(params, z))
+        if hp >= 1:
+            imgs = unpack_space_to_depth(imgs)
         imgs = np.clip(imgs * 0.5 + 0.5, 0.0, 1.0)       # demo.py:62 denorm
         imgs = (imgs * 255.0).astype(np.uint8)
         for i in range(n):

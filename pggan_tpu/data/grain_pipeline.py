@@ -26,7 +26,8 @@ class GrainPipeline:
                  indices: Optional[Sequence[int]] = None,
                  num_workers: int = 8, prefetch_depth: int = 2,
                  seed: int = 42, shard_fn=None,
-                 rank: int = 0, num_replicas: int = 1):
+                 rank: int = 0, num_replicas: int = 1,
+                 start_batch: int = 0):
         assert 0 <= int(rank) < int(num_replicas)
         self.shard_fn = shard_fn
         indices = list(indices) if indices is not None \
@@ -64,6 +65,12 @@ class GrainPipeline:
             .map(load)
             .batch(batch_size, drop_remainder=True)
         )
+        if start_batch:
+            # exact-resume fast-forward (DataPipeline start_batch parity):
+            # every record's position-keyed seed makes the stream a pure
+            # function of global batch index, so a lazy slice IS the
+            # fast-forward — no records are loaded for the skipped prefix
+            base = base[int(start_batch):]
         it = base.to_iter_dataset(
             grain.ReadOptions(num_threads=max(1, num_workers),
                               prefetch_buffer_size=max(1, prefetch_depth)

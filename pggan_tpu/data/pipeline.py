@@ -80,7 +80,8 @@ class DataPipeline:
                  indices: Optional[Sequence[int]] = None,
                  num_workers: int = 8, prefetch_depth: int = 2,
                  seed: int = 42, shard_fn=None,
-                 rank: int = 0, num_replicas: int = 1):
+                 rank: int = 0, num_replicas: int = 1,
+                 start_batch: int = 0):
         """`batch_size` is the per-host batch. `shard_fn(np_batch)` may
         device_put with a NamedSharding; it runs on the prefetch thread.
 
@@ -90,7 +91,17 @@ class DataPipeline:
         agrees on it, then each takes `order[rank::num_replicas]`, so the
         per-host batches assembled by `make_array_from_process_local_data`
         are disjoint slices of one global epoch. Per-sample augmentation
-        seeds come from a per-rank stream."""
+        seeds come from a per-rank stream.
+
+        `start_batch` fast-forwards the deterministic stream: the first
+        `start_batch` batches advance the permutation AND augmentation
+        RNG streams exactly as real production would, but no image is
+        decoded or enqueued. A resumed run passing the number of batches
+        the interrupted run consumed therefore sees the IDENTICAL
+        continuation of the data stream — the data-side half of exact
+        resume (the checkpoint's restored `rng` key is the latent-side
+        half). The reference restarts its DataLoader from scratch on
+        every restart, silently replaying early-epoch images."""
         assert 0 <= int(rank) < int(num_replicas)
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -106,6 +117,7 @@ class DataPipeline:
         self.prefetch_depth = max(1, int(prefetch_depth))
         self.seed = seed
         self.shard_fn = shard_fn
+        self.start_batch = max(0, int(start_batch))
         self._queue: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         self._stop = threading.Event()
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
@@ -116,6 +128,7 @@ class DataPipeline:
     # -- producer ------------------------------------------------------------
     def _producer(self):
         epoch = 0
+        skip = self.start_batch
         # permutation stream: SHARED across ranks (same seed) so the
         # round-robin shards are disjoint pieces of one global epoch;
         # augmentation stream: per-rank, so co-scheduled hosts never
@@ -143,6 +156,11 @@ class DataPipeline:
                     sel = np.concatenate([sel, order[:self.batch_size - len(sel)]])
                 idxs = self.indices[sel]
                 seeds = rng_aug.randint(0, 2**31 - 1, size=len(idxs))
+                if skip > 0:
+                    # fast-forward: both RNG streams advanced above with
+                    # the exact draws production would make; decode nothing
+                    skip -= 1
+                    continue
                 try:
                     futures = [
                         self._pool.submit(self.dataset.get, int(i),

@@ -55,24 +55,17 @@ from pggan_tpu.train.step import (
 )
 from pggan_tpu.utils import checkpoint as ckpt_lib
 from pggan_tpu.utils.image import save_image as save_image_grid
+from pggan_tpu.utils.image import unpack_space_to_depth
 from pggan_tpu.utils.logging import MetricLogger
 
 
 def _unpack_image_np(img: np.ndarray, packed: bool) -> np.ndarray:
-    """Host-side depth_to_space2 for packed sample-grid images
-    ([B,h,w,12] → [B,2h,2w,3], (a,b)-row-major groups — the inverse of
-    `ops/packed.space_to_depth2`). `packed` comes from the caller's
-    resolve_hires_pack — packedness must NOT be inferred from the channel
-    count (a genuine output_dim=4 unpacked image is divisible by 4 and
-    would be scrambled by a shape-sniffing heuristic)."""
-    if not packed:
-        return img
-    assert img.ndim == 4 and img.shape[-1] % 4 == 0, img.shape
-    b, h, w, c4 = img.shape
-    c = c4 // 4
-    v = img.reshape(b, h, w, 2, 2, c)
-    v = v.transpose(0, 1, 3, 2, 4, 5)
-    return v.reshape(b, 2 * h, 2 * w, c)
+    """Host-side depth_to_space2 for packed images ([B,h,w,12] →
+    [B,2h,2w,3] — utils/image.unpack_space_to_depth). `packed` comes from
+    the caller's resolve_hires_pack — packedness must NOT be inferred from
+    the channel count (a genuine output_dim=4 unpacked image is divisible
+    by 4 and would be scrambled by a shape-sniffing heuristic)."""
+    return unpack_space_to_depth(img) if packed else img
 
 
 class ProgressiveGANTrainer:
@@ -110,6 +103,7 @@ class ProgressiveGANTrainer:
                                              thread_name_prefix="pggan-ckpt")
         self._ckpt_future = None
         self._fid_sampler = None
+        self._fid_sampler_packed = False
         self._val_fn = None
         self._fid_extractor_cache = None
         self._eval_ds = None
@@ -224,6 +218,17 @@ class ProgressiveGANTrainer:
         depth = max(int(self.cfg.prefetch_depth),
                     resolve_steps_per_dispatch(
                         self.cfg, self.schedule.scale_index) + 1)
+        # Exact-resume fast-forward: every step consumes exactly one batch
+        # from the per-scale stream (a k-chunk consumes k), so the batches
+        # already drawn at this scale = steps completed since the scale
+        # started. At a fresh scale jump this is 0 (global_step == the
+        # jump step); after a resume it re-positions the deterministic
+        # stream where the interrupted run left it — with the restored
+        # checkpoint `rng`, the continuation is bit-identical to the
+        # uninterrupted run (tests/test_preemption.py pins this).
+        sched = self.schedule
+        scale_start = (sched.next_scale_jump_step
+                       - int(sched.max_step_at_scale[sched.scale_index]))
         self._pipeline = pipeline_cls(
             self.dataset, batch,
             indices=self._train_indices,
@@ -231,7 +236,8 @@ class ProgressiveGANTrainer:
             prefetch_depth=depth,
             seed=int(self.cfg.seed) + self.schedule.scale_index,
             shard_fn=lambda b: shard_batch(b, mesh),
-            rank=jax.process_index(), num_replicas=jax.process_count())
+            rank=jax.process_index(), num_replicas=jax.process_count(),
+            start_batch=max(0, self.global_step - scale_start))
 
     def set_loss_collector(self):
         max_step = min(sum(self.cfg.max_step_at_scale), self.cfg.max_step)
@@ -504,22 +510,39 @@ class ProgressiveGANTrainer:
             from pggan_tpu.models import discriminator_apply, generator_apply
             from pggan_tpu.losses.gan import bce_with_logits, generator_loss
             from pggan_tpu.ops import downscale2d, upscale2d
+            from pggan_tpu.train.step import resolve_hires_pack
             compute_dtype = (jnp.bfloat16
                              if str(cfg.compute_dtype) == "bfloat16"
                              else jnp.float32)
+            # Mirror the train step's packed execution at hires_pack
+            # scales (step.py packed_imgs): G emits packed, D consumes
+            # packed, the real fade runs as channel-group ops — the
+            # validation forward otherwise rebuilds the unpacked ≥512²
+            # program whose layout copies packing exists to avoid.
+            hp = resolve_hires_pack(cfg, self.schedule.scale_index)
+            packed = hp >= 1
             d_kw = dict(slope=float(cfg.LReLU_slope),
                         apply_minibatch_norm=bool(cfg.apply_minibatch_norm),
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        hires_pack=hp, input_packed=packed)
             g_kw = dict(slope=float(cfg.LReLU_slope),
                         apply_pixel_norm=bool(cfg.apply_pixel_norm),
                         last_activation=cfg.generator_last_activation,
                         fused_scale=cfg.fused_scale,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        hires_pack=hp, output_packed=packed)
             w_adv = float(cfg.W_adv)
             fade_real = self.schedule.scale_index > 0
 
             def _eval(params_G, params_D, real, z, alpha):
-                if fade_real:
+                if packed:
+                    from pggan_tpu.ops.packed import (downscale2d_packed,
+                                                      space_to_depth2,
+                                                      upscale2d_packed)
+                    real = space_to_depth2(real)
+                    low = upscale2d_packed(downscale2d_packed(real))
+                    real = (1.0 - alpha) * low + alpha * real
+                elif fade_real:
                     # evaluate D on the SAME real distribution training
                     # feeds it: the alpha-blended fade
                     # (pggan/model.py:217-221 / step.py real fade-in) —
@@ -655,11 +678,23 @@ class ProgressiveGANTrainer:
 
         if self._fid_sampler is None:      # cached per scale (_fresh_state resets)
             from pggan_tpu.models import generator_apply
+            from pggan_tpu.train.step import resolve_hires_pack
+            # Same packed program shape as the train step at ≥512²
+            # (hires_pack) — the unpacked G forward is exactly the
+            # layout-copy pathology packing exists to avoid, and building
+            # it for eval would add a second per-scale compile at the
+            # marquee scales. Host unpacks the [B,R/2,R/2,12] output
+            # (trivial numpy transpose, off the device).
+            hp = resolve_hires_pack(cfg, self.schedule.scale_index)
+            self._fid_sampler_packed = hp >= 1
             self._fid_sampler = jax.jit(lambda p, z, a: generator_apply(
                 p, z, a, slope=float(cfg.LReLU_slope),
                 apply_pixel_norm=bool(cfg.apply_pixel_norm),
-                last_activation=cfg.generator_last_activation))
+                last_activation=cfg.generator_last_activation,
+                fused_scale=cfg.fused_scale,
+                hires_pack=hp, output_packed=hp >= 1))
         sample = self._fid_sampler
+        sample_packed = self._fid_sampler_packed
 
         rng = jax.random.PRNGKey(int(cfg.seed) + 777)
 
@@ -669,7 +704,9 @@ class ProgressiveGANTrainer:
             while done < n:
                 rng, key = jax.random.split(rng)
                 z = jax.random.normal(key, (batch, int(cfg.latent_dim)))
-                yield np.clip(np.asarray(sample(params_G, z, alpha)), -1.0, 1.0)
+                img = _unpack_image_np(
+                    np.asarray(sample(params_G, z, alpha)), sample_packed)
+                yield np.clip(img, -1.0, 1.0)
                 done += batch
 
         eval_ds = self._eval_dataset()

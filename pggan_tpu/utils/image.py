@@ -14,6 +14,21 @@ from typing import List, Sequence
 import numpy as np
 
 
+def unpack_space_to_depth(img: np.ndarray) -> np.ndarray:
+    """Host-side depth_to_space2: [B, h, w, 4C] → [B, 2h, 2w, C] with
+    (a, b)-row-major subpixel groups — the numpy inverse of
+    `ops/packed.space_to_depth2`. Eval/serving paths run the generator
+    PACKED at hires_pack scales (the ≥512² layout-copy fix) and undo the
+    packing here, on the host, where the transpose is free relative to
+    the device-side relayout it replaces."""
+    assert img.ndim == 4 and img.shape[-1] % 4 == 0, img.shape
+    b, h, w, c4 = img.shape
+    c = c4 // 4
+    v = img.reshape(b, h, w, 2, 2, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, 2 * h, 2 * w, c)
+
+
 def make_grid_image(list_of_batches: Sequence[np.ndarray], *,
                     max_per_row: int = 8, pad: int = 2) -> np.ndarray:
     """Stack batches into a grid: one row per batch, images side by side.

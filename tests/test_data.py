@@ -128,6 +128,20 @@ class TestPipeline:
                           shard_fn=lambda b: b.astype(np.float32)) as pipe:
             assert next(pipe).dtype == np.float32
 
+    def test_start_batch_fast_forwards_exactly(self):
+        # exact-resume: skipping k batches must reproduce the identical
+        # continuation of the stream — permutation AND augmentation draws
+        # advance, nothing is decoded for the prefix. k=9 crosses an epoch
+        # boundary (dataset 24 / batch 4 → 6 batches per epoch).
+        ds = SyntheticDataset(24, scale_index=0)
+        with DataPipeline(ds, 4, num_workers=1, seed=5) as pipe:
+            full = [next(pipe) for _ in range(12)]
+        with DataPipeline(ds, 4, num_workers=1, seed=5,
+                          start_batch=9) as pipe:
+            resumed = [next(pipe) for _ in range(3)]
+        for got, want in zip(resumed, full[9:]):
+            np.testing.assert_array_equal(got, want)
+
 
 class TestPairedDatasets:
     def test_paired_train(self, image_dir):
@@ -171,6 +185,17 @@ class TestGrainPipeline:
         ds = SyntheticDataset(4, scale_index=0)
         with GrainPipeline(ds, 16, num_workers=1) as pipe:
             assert next(pipe).shape == (16, 4, 4, 3)
+
+    def test_start_batch_fast_forwards_exactly(self):
+        from pggan_tpu.data.grain_pipeline import GrainPipeline
+        ds = SyntheticDataset(24, scale_index=0)
+        with GrainPipeline(ds, 4, num_workers=1, seed=5) as pipe:
+            full = [next(pipe) for _ in range(12)]
+        with GrainPipeline(ds, 4, num_workers=1, seed=5,
+                           start_batch=9) as pipe:
+            resumed = [next(pipe) for _ in range(3)]
+        for got, want in zip(resumed, full[9:]):
+            np.testing.assert_array_equal(got, want)
 
     def test_trainer_uses_grain_backend(self, tmp_path):
         from pggan_tpu import Config

@@ -33,6 +33,17 @@ class TestPackedPrimitives:
         np.testing.assert_array_equal(
             np.asarray(depth_to_space2(space_to_depth2(x))), np.asarray(x))
 
+    def test_host_unpack_matches_depth_to_space(self):
+        # utils/image.unpack_space_to_depth is the numpy inverse eval/
+        # serving paths (FID sampler, demo.py) apply to packed G outputs —
+        # it must equal the device-side depth_to_space2 exactly
+        from pggan_tpu.utils.image import unpack_space_to_depth
+        x = _x(3, 6, 7)
+        p = space_to_depth2(x)
+        np.testing.assert_array_equal(
+            unpack_space_to_depth(np.asarray(p)),
+            np.asarray(depth_to_space2(p)))
+
     def test_group_order_matches_fused_scale_convention(self):
         # subpixel (a, b) must live in group 2a+b (the depth_to_space2
         # convention) — a transposed convention would silently scramble

@@ -138,6 +138,91 @@ class TestPreemption:
         assert meta2["schedule"]["scale_index"] >= meta["schedule"]["scale_index"]
 
 
+class TestPreemptionReplay:
+    def test_resume_continues_metrics_bit_exact(self, tmp_path):
+        """The real preemption story, pinned (round-3 VERDICT item 7 —
+        the path the marquee kceleb1024fid SIGTERM-stop exercised
+        manually): train a packed-scale config with chunked dispatch,
+        SIGTERM mid-second-stage, resume with --ckpt_id into the SAME
+        run, and require the post-resume metrics stream to be BIT-EXACT
+        against an uninterrupted reference run. This only holds because
+        resume restores the full replay state: params/opt (checkpoint),
+        the latent RNG key (meta['rng']), and the data-stream position
+        (DataPipeline start_batch fast-forward)."""
+        from tests.conftest import require_live_jax_subprocess
+        require_live_jax_subprocess()
+        cfg_path, cfg = write_cfg(
+            tmp_path,
+            hires_pack=1,                 # packed top level from scale 1 on
+            steps_per_dispatch=4,         # chunked dispatch throughout
+            batch_per_gpu=8,
+            max_step_at_scale=[40, 200, 200],
+            alpha_jump_start=[-1, 8, 8],
+            alpha_jump_interval=[0, 4, 4],
+            alpha_jump_Ntimes=[0, 5, 5],
+            loss_cycle=4,
+        )
+
+        def read_metrics(run):
+            path = os.path.join(cfg["save_root"], run, "metrics.jsonl")
+            recs = [json.loads(l) for l in open(path)]
+            # deterministic loss keys only (time/imgs_per_sec are wall-clock)
+            keys = ("L_D", "L_G", "L_D_real", "L_D_fake", "L_D_r1")
+            return {r["step"]: {k: r[k] for k in keys if k in r}
+                    for r in recs if "L_D" in r}
+
+        # 1. uninterrupted reference run to step 120 (mid scale-1 stage)
+        rc, out = run_train(["ref", "--config", cfg_path,
+                             "--max_step", "120"],
+                            str(tmp_path / "ref.log"))
+        assert rc == 0, out
+
+        # 2. same recipe, SIGTERM once it is past step 60 (mid scale-1,
+        #    inside the packed stage, between chunk dispatches)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        log_path = str(tmp_path / "rep.log")
+        metrics_path = os.path.join(cfg["save_root"], "rep", "metrics.jsonl")
+        with open(log_path, "w") as log:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "train.py"), "rep",
+                 "--config", cfg_path, "--max_step", "120"],
+                cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT)
+            deadline = time.time() + 900
+            while time.time() < deadline:
+                if proc.poll() is not None:
+                    break
+                if os.path.exists(metrics_path) and any(
+                        json.loads(l).get("step", 0) >= 60
+                        for l in open(metrics_path) if l.strip()):
+                    break
+                time.sleep(0.25)
+            assert proc.poll() is None, open(log_path).read()
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=240)
+        assert proc.returncode == 0, open(log_path).read()
+
+        from pggan_tpu.utils.checkpoint import load_checkpoint
+        _, _, meta = load_checkpoint(cfg["save_root"], "rep", "G", None)
+        stopped = meta["global_step"]
+        assert 40 < stopped < 120, f"stopped at {stopped} — not mid-stage"
+
+        # 3. resume the SAME run_id to 120 (appends to its metrics.jsonl)
+        rc, out = run_train(["rep", "--config", cfg_path,
+                             "--ckpt_id", "rep", "--max_step", "120"],
+                            str(tmp_path / "rep2.log"))
+        assert rc == 0, out
+
+        ref, rep = read_metrics("ref"), read_metrics("rep")
+        post = [s for s in sorted(rep) if s > stopped]
+        assert len(post) >= 2, (stopped, sorted(rep))
+        for s in post:
+            assert s in ref, f"step {s} missing from reference stream"
+            assert rep[s] == ref[s], (
+                f"post-resume metrics diverged at step {s} "
+                f"(stopped at {stopped}): {rep[s]} != {ref[s]}")
+
+
 class TestResumeAtJumpBoundary:
     def test_checkpoint_saved_exactly_at_jump_step(self, tmp_path):
         # save at the exact step where next_scale_jump fires on resume:

@@ -228,6 +228,61 @@ class TestFIDHook:
         finally:
             trainer.close()
 
+    def test_packed_eval_paths_match_unpacked(self, tmp_path):
+        """At hires_pack scales the FID sampler, validation() and demo.py
+        route through the PACKED program (round-4: the unpacked eval
+        forward at ≥512² was a second per-scale compile through exactly
+        the layout-copy pathology packing avoids). Packed execution is a
+        pure representation change, so every eval output must agree with
+        the unpacked program on identical weights."""
+        common = dict(use_validation=True, val_batches=2,
+                      compute_dtype="float32", fid_samples=16)
+        cfg_u = smoke_cfg(tmp_path, hires_pack=0, **common)
+        cfg_p = smoke_cfg(tmp_path, hires_pack=1, **common)
+        t_u = create_model(cfg_u)
+        t_p = create_model(cfg_p)
+        try:
+            t_u.fit("ev_u", max_step=6)        # scale jump at 4 → scale 1
+            t_p.fit("ev_p", max_step=6)
+            assert t_u.schedule.scale_index == 1
+            assert t_p.schedule.scale_index == 1
+            t_p.state = t_u.state              # identical weights both sides
+
+            m_u = t_u.compute_generative_metrics(num_samples=16)
+            m_p = t_p.compute_generative_metrics(num_samples=16)
+            assert t_p._fid_sampler_packed and not t_u._fid_sampler_packed
+            np.testing.assert_allclose(m_p["fid"], m_u["fid"],
+                                       rtol=1e-3, atol=1e-5)
+            np.testing.assert_allclose(m_p["kid"], m_u["kid"],
+                                       rtol=1e-3, atol=1e-6)
+
+            t_u.validation(6)
+            t_p.validation(6)
+        finally:
+            t_u.close()
+            t_p.close()
+        val = {}
+        for run in ("ev_u", "ev_p"):
+            records = [json.loads(l) for l in open(
+                os.path.join(cfg_u.save_root, run, "metrics.jsonl"))]
+            val[run] = [r for r in records if "val_L_D" in r][-1]
+        for key in ("val_D_real", "val_D_fake", "val_L_D", "val_L_G"):
+            np.testing.assert_allclose(val["ev_p"][key], val["ev_u"][key],
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=key)
+
+        # demo.py on the packed run's checkpoint: resolves hires_pack from
+        # the ckpt meta, samples packed, and the host unpack restores the
+        # FULL resolution
+        import demo as demo_cli
+        rc = demo_cli.main(["--ckpt_id", "ev_p", "--save_root",
+                            cfg_p.save_root, "--n_samples", "2"])
+        assert rc == 0
+        from PIL import Image
+        img = Image.open(os.path.join(cfg_p.save_root, "ev_p", "samples",
+                                      "result_0.jpg"))
+        assert img.size == (8, 8)              # scale 1 → 8×8, not 4×4×12
+
     def test_fid_cycle_logs_metric(self, tmp_path):
         cfg = smoke_cfg(tmp_path, fid_cycle=2, fid_samples=16)
         trainer = create_model(cfg)
@@ -449,3 +504,37 @@ class TestCLI:
         assert rec["extractor"] == "random_conv"
         for key in ("fid", "kid", "kid_std"):
             assert np.isfinite(rec[key])
+
+    def test_collect_evidence_cli(self, tmp_path):
+        """tools/collect_evidence.py: the durable-evidence collector must
+        capture metrics.jsonl + analyze_run digests + the final sample
+        grid for a finished run, without importing jax itself."""
+        cfg = smoke_cfg(tmp_path)
+        trainer = create_model(cfg)
+        try:
+            trainer.fit("evd", max_step=5)         # grid written at step 4
+        finally:
+            trainer.close()
+
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "collect_evidence",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "collect_evidence.py"))
+        tool = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tool)
+        out_root = str(tmp_path / "evidence")
+        rc = tool.main(["evd", "--save_root", cfg.save_root,
+                        "--out", out_root])
+        assert rc == 0
+        out_dir = os.path.join(out_root, "evd")
+        files = set(os.listdir(out_dir))
+        assert {"metrics.jsonl", "analyze_run.json", "analyze_run.txt",
+                "final_grid.jpg"} <= files
+        digest = json.loads(open(
+            os.path.join(out_dir, "analyze_run.json")).read())
+        assert digest["run"] == "evd" and digest["last_step"] >= 4
+        # the copied stream is byte-identical to the run's
+        src = open(os.path.join(cfg.save_root, "evd",
+                                "metrics.jsonl")).read()
+        assert open(os.path.join(out_dir, "metrics.jsonl")).read() == src

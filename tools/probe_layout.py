@@ -89,12 +89,18 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--trace_steps", type=int, default=3)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu for smoke tests; "
+                         "env JAX_PLATFORMS is latched over at startup in "
+                         "this environment — see verify skill)")
     ns = ap.parse_args(argv)
     logdir = ns.logdir or f"/tmp/xprof_layout_{ns.variant}"
 
     import jax
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
     import jax.numpy as jnp
-    from jax.experimental.layout import Format, Layout, with_layout_constraint
+    from jax.experimental.layout import Layout, with_layout_constraint
 
     from pggan_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -109,7 +115,9 @@ def main(argv=None):
 
     def pin4(x):
         if getattr(x, "ndim", 0) == 4:
-            return with_layout_constraint(x, Format(Layout(m2m)))
+            # jax 0.9: with_layout_constraint takes a bare Layout (a Format
+            # wrapper requires a concrete sharding and is rejected here).
+            return with_layout_constraint(x, Layout(m2m))
         return x
 
     # -- variant hooks (monkeypatch the packed ops: every consumer imports

@@ -80,8 +80,8 @@ def copy_ms_from_trace(logdir, steps):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="baseline",
-                    choices=["baseline", "img_entry", "packed_imgs",
-                             "conv_in", "params_entry"])
+                    choices=["baseline", "img_entry", "img_entry_jit",
+                             "packed_imgs", "conv_in", "params_entry"])
     ap.add_argument("--m2m", default="3,2,1,0",
                     help="major_to_minor for rank-4 pins")
     ap.add_argument("--scale", type=int, default=8)
@@ -165,7 +165,23 @@ def main(argv=None):
             return base(st, im, a)
     else:
         body = base
-    step = jax.jit(body, donate_argnums=(0,))
+    if ns.variant == "img_entry_jit":
+        # TRUE entry-layout pin at the jit boundary (jax 0.9 accepts a
+        # concrete Format in in_shardings without banned-here AOT
+        # .lower().compile()): the runtime lays the uint8 image operand out
+        # as requested BEFORE the program starts, instead of a constraint
+        # inside the traced body.
+        from jax.experimental.layout import Format
+        img_fmt = Format(Layout(m2m), imgs.sharding)
+        # jit's in_shardings Format is a CONTRACT, not a conversion — the
+        # operand must already carry the pinned layout (device_put writes
+        # it during the host->device transfer, exactly the path a pipeline
+        # would use in production if this wins).
+        imgs = jax.device_put(imgs, img_fmt)
+        step = jax.jit(body, in_shardings=(None, img_fmt, None),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(body, donate_argnums=(0,))
 
     t0 = time.time()
     for _ in range(3):

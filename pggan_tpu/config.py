@@ -94,6 +94,14 @@ _DEFAULTS: Dict[str, Any] = {
     # the dominant host cost; per-draw flip/jitter stays per-sample)
     "cache_decoded": "auto",          # 'auto' | True | False
     "decode_cache_mb": 8192,
+    # device-RESIDENT dataset cache (`data/device_cache.py`): upload the
+    # resized-at-scale images to HBM once per scale and assemble batches
+    # in-graph — per-step host->device traffic drops from megabytes of
+    # pixels to bytes of indices (the e2e bottleneck at >=512² on a
+    # remotely-attached chip). 'auto' enables it when the dataset fits
+    # `device_cache_mb` on a single-process mesh.
+    "device_data_cache": False,       # 'auto' | True | False
+    "device_cache_mb": 256,
     # per-scale batch override: dict {scale_index: global_batch}; None → use
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,

@@ -144,6 +144,21 @@ class ImageFolderDataset:
         img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
+    def resized_array(self, index: int) -> np.ndarray:
+        """UNAUGMENTED decoded+resized uint8 HWC image — the array the
+        device-resident cache uploads once per scale (per-draw flip/jitter
+        then runs in-graph; `data/device_cache.py`). Uses the decode cache
+        when enabled so the host pays each decode once either way."""
+        path = self.paths[index % len(self.paths)]
+        if self._cache is not None:
+            arr = self._cache.get(path)
+            if arr is None:
+                arr = self._resize_uncached(path)
+                with self._cache_lock:
+                    arr = self._cache.setdefault(path, arr)
+            return arr
+        return self._resize_uncached(path)
+
     def _warn_fallback(self, path: str):
         # libjpeg/libpng rejects some variants PIL handles (CMYK JPEGs,
         # exotic PNGs) — per-image PIL fallback instead of killing the

@@ -79,7 +79,7 @@ class DataPipeline:
     def __init__(self, dataset, batch_size: int, *,
                  indices: Optional[Sequence[int]] = None,
                  num_workers: int = 8, prefetch_depth: int = 2,
-                 seed: int = 42, shard_fn=None,
+                 seed: int = 42, shard_fn=None, assemble_fn=None,
                  rank: int = 0, num_replicas: int = 1,
                  start_batch: int = 0):
         """`batch_size` is the per-host batch. `shard_fn(np_batch)` may
@@ -117,6 +117,11 @@ class DataPipeline:
         self.prefetch_depth = max(1, int(prefetch_depth))
         self.seed = seed
         self.shard_fn = shard_fn
+        # device-cache fast path (`data/device_cache.py`): when set, the
+        # producer ships (indices, seeds) instead of decoded pixels — the
+        # index/seed draws below are IDENTICAL either way, so the stream a
+        # step sees does not depend on the backend
+        self.assemble_fn = assemble_fn
         self.start_batch = max(0, int(start_batch))
         self._queue: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
         self._stop = threading.Event()
@@ -160,6 +165,16 @@ class DataPipeline:
                     # fast-forward: both RNG streams advanced above with
                     # the exact draws production would make; decode nothing
                     skip -= 1
+                    continue
+                if self.assemble_fn is not None:
+                    try:
+                        batch = self.assemble_fn(idxs, seeds)
+                    except Exception as exc:
+                        if self._stop.is_set():
+                            return
+                        self._enqueue(exc)
+                        return
+                    self._enqueue(batch)
                     continue
                 try:
                     futures = [

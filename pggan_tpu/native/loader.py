@@ -29,23 +29,11 @@ class NativeImageLoader:
 
     def _draw_augment(self, rng: Optional[np.random.RandomState]):
         """Consume the rng in a FIXED order (flip, 4 factors, shuffle) so
-        load() and augment() draw identical parameters from equal seeds."""
-        if self.augment and rng is not None:
-            flip = 1 if rng.rand() < 0.5 else 0
-            b, c, s, h = self.jitter
-            factors = np.array([
-                rng.uniform(max(0.0, 1 - b), 1 + b) if b > 0 else -1.0,
-                rng.uniform(max(0.0, 1 - c), 1 + c) if c > 0 else -1.0,
-                rng.uniform(max(0.0, 1 - s), 1 + s) if s > 0 else -1.0,
-                rng.uniform(-h, h) if h > 0 else -2.0,
-            ], np.float32)
-            order = np.arange(4, dtype=np.int32)
-            rng.shuffle(order)
-        else:
-            flip = 0
-            factors = np.full(4, -2.0, np.float32)
-            order = np.arange(4, dtype=np.int32)
-        return flip, factors, order
+        load() and augment() draw identical parameters from equal seeds —
+        the canonical draw shared with the device-cache backend lives in
+        `data/augment.py`."""
+        from pggan_tpu.data.augment import draw_augment_params
+        return draw_augment_params(rng, self.jitter, self.augment)
 
     def load(self, path: str, rng: Optional[np.random.RandomState] = None
              ) -> np.ndarray:

@@ -229,6 +229,22 @@ class ProgressiveGANTrainer:
         sched = self.schedule
         scale_start = (sched.next_scale_jump_step
                        - int(sched.max_step_at_scale[sched.scale_index]))
+        # HBM-resident dataset (`data/device_cache.py`): rebuilt per scale
+        # (the cache holds resized-at-scale images); freed before the new
+        # upload. Only the thread pipeline takes the hook — grain's record
+        # stream stays a host pipeline.
+        assemble_fn = None
+        self._device_cache = None
+        if pipeline_cls is DataPipeline:
+            from pggan_tpu.data.device_cache import (DeviceDataCache,
+                                                     resolve_device_data_cache)
+            if resolve_device_data_cache(self.cfg, self.dataset, mesh):
+                self._device_cache = DeviceDataCache(self.dataset, mesh)
+                assemble_fn = self._device_cache.assemble
+                if self.is_master:
+                    print(f"[pggan_tpu] device data cache: "
+                          f"{self._device_cache.n_images} images, "
+                          f"{self._device_cache.nbytes / 1e6:.1f} MB in HBM")
         self._pipeline = pipeline_cls(
             self.dataset, batch,
             indices=self._train_indices,
@@ -237,7 +253,9 @@ class ProgressiveGANTrainer:
             seed=int(self.cfg.seed) + self.schedule.scale_index,
             shard_fn=lambda b: shard_batch(b, mesh),
             rank=jax.process_index(), num_replicas=jax.process_count(),
-            start_batch=max(0, self.global_step - scale_start))
+            start_batch=max(0, self.global_step - scale_start),
+            **({"assemble_fn": assemble_fn}
+               if pipeline_cls is DataPipeline else {}))
 
     def set_loss_collector(self):
         max_step = min(sum(self.cfg.max_step_at_scale), self.cfg.max_step)

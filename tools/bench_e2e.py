@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--loss_mode", default="r1")
     ap.add_argument("--data_root", default=None,
                     help="folder dataset instead of synthetic")
+    ap.add_argument("--device_data_cache", default=None,
+                    help="'true'|'auto' — HBM-resident dataset "
+                         "(data/device_cache.py); requires --data_root")
     ap.add_argument("--platform", default=None)
     ns = ap.parse_args(argv)
 
@@ -67,6 +70,10 @@ def main(argv=None):
         "loss_cycle": 10**9, "test_cycle": 10**9, "ckpt_cycle": 10**9,
         "save_root": "/tmp/bench_e2e",
     })
+    if ns.device_data_cache is not None:
+        cfg["device_data_cache"] = (
+            True if ns.device_data_cache == "true" else ns.device_data_cache)
+        cfg["device_cache_mb"] = 512
     trainer = create_model(cfg)
     try:
         # pin the schedule mid-stage at the requested scale: alpha=1
@@ -117,6 +124,7 @@ def main(argv=None):
             "steps_per_dispatch": k,
             "step_ms": round(1000 * elapsed / done, 2),
             "warmup_s": round(warm_s, 1),
+            "device_data_cache": trainer._device_cache is not None,
         }))
     finally:
         trainer.close()

@@ -92,6 +92,8 @@ _DEFAULTS: Dict[str, Any] = {
     # decode-once-per-scale cache of resized uint8 images; 'auto' enables
     # it whenever n_images * res^2 * 3 fits the budget below (decode is
     # the dominant host cost; per-draw flip/jitter stays per-sample)
+    "augment": True,                  # train-set hflip + color jitter
+                                      # (`lib/dataset.py:103-108`)
     "cache_decoded": "auto",          # 'auto' | True | False
     "decode_cache_mb": 8192,
     # device-RESIDENT dataset cache (`data/device_cache.py`): upload the

@@ -321,6 +321,7 @@ def build_dataset(cfg, scale_index: int, *, is_master: bool = False):
     if backend == "folder":
         return ImageFolderDataset(
             roots, scale_index, is_master=is_master,
+            augment=(bool(cfg["augment"]) if "augment" in cfg else True),
             cache_decoded=(cfg["cache_decoded"]
                            if "cache_decoded" in cfg else "auto"),
             decode_cache_mb=(int(cfg["decode_cache_mb"])

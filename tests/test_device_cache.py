@@ -216,6 +216,45 @@ class TestResolveGate:
 
 
 class TestTrainerIntegration:
+    def test_devcache_chunked_matches_host_unchunked(self, image_dir,
+                                                     tmp_path):
+        """The round-4 production composition — device cache + chunked
+        dispatch — must train identically to host pipeline + per-step
+        dispatch: with augmentation off the sample stream is bit-exact
+        (TestPipelineStreamParity), and the chunk is pure state evolution,
+        so final params match within cross-program compile tolerance."""
+        from pggan_tpu.registry import create_model
+        finals = {}
+        for tag, over in (("host", {}),
+                          ("devchunk", {"device_data_cache": True,
+                                        "steps_per_dispatch": 4})):
+            cfg = Config({
+                "depths": [16, 16], "latent_dim": 32, "batch_per_gpu": 1,
+                "max_step_at_scale": [16, 16],
+                "alpha_jump_start": [-1, 4], "alpha_jump_interval": [0, 2],
+                "alpha_jump_Ntimes": [0, 2],
+                "loss_cycle": 8, "test_cycle": 100, "ckpt_cycle": 100,
+                "fid_cycle": 0, "use_validation": False,
+                "save_root": str(tmp_path / tag),
+                "dataset_root_list": [image_dir], "data_backend": "folder",
+                "augment": False, "num_data_workers": 2, "use_mGPU": True,
+                "seed": 11, **over,
+            })
+            trainer = create_model(cfg)
+            try:
+                trainer.fit(tag, max_step=12)
+                finals[tag] = (jax.device_get(trainer.state.params_G),
+                               jax.device_get(trainer.state.params_D),
+                               trainer._chunks_dispatched,
+                               trainer._device_cache is not None)
+            finally:
+                trainer.close()
+        assert finals["host"][2] == 0 and not finals["host"][3]
+        assert finals["devchunk"][2] > 0 and finals["devchunk"][3]
+        for a, b in zip(jax.tree_util.tree_leaves(finals["host"][:2]),
+                        jax.tree_util.tree_leaves(finals["devchunk"][:2])):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
     def test_trainer_device_cache_steps(self, image_dir, tmp_path):
         from pggan_tpu.registry import create_model
         cfg = Config({

@@ -82,10 +82,14 @@ def main(argv=None):
                 print(f"[bench_table]   -> "
                       f"{row.get('value', row.get('error', '?'))}",
                       file=sys.stderr)
-            row = dict(reps[0])
-            if ns.repeat > 1 and all("error" not in r for r in reps):
-                vals = [r["value"] for r in reps]
-                vsb = [r["vs_baseline"] for r in reps]
+            # Statistics over the SUCCESSFUL reps (a flaky device-service
+            # hiccup in one rep must not void the whole variance bar);
+            # failed reps are recorded, not hidden.
+            ok = [r for r in reps if "error" not in r]
+            row = dict(ok[0] if ok else reps[0])
+            if ns.repeat > 1 and len(ok) >= 2:
+                vals = [r["value"] for r in ok]
+                vsb = [r["vs_baseline"] for r in ok]
                 mean = sum(vals) / len(vals)
                 std = (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
                 row["runs"] = vals
@@ -95,10 +99,13 @@ def main(argv=None):
                 row["vs_baseline_std"] = round(
                     (sum((v - row["vs_baseline"]) ** 2 for v in vsb)
                      / len(vsb)) ** 0.5, 4)
+                if len(ok) < len(reps):
+                    row["failed_runs"] = [r["error"][-200:] for r in reps
+                                          if "error" in r]
                 print(f"[bench_table]   mean {row['value']} ± "
                       f"{row['value_std']} img/s (vs_baseline "
                       f"{row['vs_baseline']} ± {row['vs_baseline_std']}, "
-                      f"n={len(vals)})", file=sys.stderr)
+                      f"n={len(vals)}/{len(reps)})", file=sys.stderr)
             rows.append(row)
 
     doc = {"rows": rows}

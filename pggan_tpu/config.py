@@ -108,6 +108,13 @@ _DEFAULTS: Dict[str, Any] = {
     # batch_per_gpu * num_devices at every scale.
     "batch_schedule": None,
     "donate_buffers": True,
+    # per-program XLA compiler options for the train step, a
+    # {flag_name: value} map (e.g. xla_tpu_scoped_vmem_limit_kib: "65536").
+    # The only route to TPU compiler knobs here: local XLA_FLAGS carries
+    # no TPU flags (compilation is remote), jit(compiler_options=...)
+    # ships them inside the compile request (train/step.py). None = XLA
+    # defaults — measured optimal (BASELINE.md compiler-flag probes).
+    "compiler_options": None,
     # run N fused steps per dispatched program (lax.scan in-graph loop)
     # inside event-free schedule windows — amortizes the per-step
     # host→device round trip that dominates end-to-end throughput at

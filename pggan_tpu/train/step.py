@@ -116,6 +116,38 @@ def resolve_hires_pack(cfg, scale_index: int) -> int:
     return min(int(hp_cfg), scale_index) if hp_cfg else 0
 
 
+def _compiler_options(cfg):
+    """Optional per-program XLA compiler options (`compiler_options:` in
+    the YAML config, a {flag_name: value-string} map, e.g.
+    `xla_tpu_scoped_vmem_limit_kib: "65536"`).
+
+    This is the ONLY route to TPU compiler knobs in this environment:
+    the local jaxlib's XLA_FLAGS registry carries none of the TPU
+    backend flags (compilation happens on a remote service — setting
+    `XLA_FLAGS=--xla_tpu_...` aborts the process with "Unknown flags"),
+    while `jax.jit(compiler_options=...)` ships the map inside the
+    compile request where the REMOTE compiler validates and applies it
+    (probed: bogus keys are rejected server-side). Default None =
+    XLA's own choices, which BASELINE.md's flag-probe table shows are
+    already optimal for this program family."""
+    co = cfg["compiler_options"] if "compiler_options" in cfg else None
+    if not co:
+        return None
+
+    def norm(v):
+        # XLA's option parser takes Python bools or "True"/"False"
+        # (capitalized) but rejects "true"/"false"/ints — normalize so
+        # YAML bools and CLI strings both work.
+        if isinstance(v, bool):
+            return v
+        s = str(v)
+        if s.lower() in ("true", "false"):
+            return s.lower() == "true"
+        return s
+
+    return {str(k): norm(v) for k, v in dict(co).items()}
+
+
 def make_train_step(cfg, scale_index: int,
                     opt_g: optax.GradientTransformation,
                     opt_d: optax.GradientTransformation,
@@ -356,7 +388,8 @@ def make_train_step(cfg, scale_index: int,
 
     if jit:
         donate = (0,) if cfg.donate_buffers else ()
-        return jax.jit(step, donate_argnums=donate)
+        return jax.jit(step, donate_argnums=donate,
+                       compiler_options=_compiler_options(cfg))
     return step
 
 
@@ -413,7 +446,8 @@ def make_chunked_train_step(cfg, scale_index: int,
 
     if jit:
         donate = (0,) if cfg.donate_buffers else ()
-        return jax.jit(chunk, donate_argnums=donate)
+        return jax.jit(chunk, donate_argnums=donate,
+                       compiler_options=_compiler_options(cfg))
     return chunk
 
 

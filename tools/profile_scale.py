@@ -15,8 +15,18 @@ def main():
     ap.add_argument("--scale", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--trace_steps", type=int, default=3)
+    ap.add_argument("--trace_steps", type=int, default=3,
+                    help="0 skips the XProf trace entirely")
     ap.add_argument("--logdir", default="/tmp/xprof_s8")
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON line to stdout "
+                         "(probe drivers parse this)")
+    ap.add_argument("--compiler_option", action="append", default=[],
+                    metavar="FLAG=VALUE",
+                    help="XLA compiler option for the step program, e.g. "
+                         "xla_tpu_scoped_vmem_limit_kib=65536 (repeatable; "
+                         "applied remotely via jit compiler_options — local "
+                         "XLA_FLAGS cannot reach the TPU compiler here)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
     ap.add_argument("--hires_pack", default="auto",
@@ -43,7 +53,9 @@ def main():
                                      ns.hires_pack if not str(
                                          ns.hires_pack).lstrip("-").isdigit()
                                      else int(ns.hires_pack)),
-                  "remat": True if ns.remat else "auto"})
+                  "remat": True if ns.remat else "auto",
+                  "compiler_options": dict(
+                      kv.split("=", 1) for kv in ns.compiler_option)})
     opt_g, opt_d = make_optimizers(cfg)
 
     @jax.jit
@@ -75,11 +87,22 @@ def main():
     dt = (time.time()-t0)/ns.steps
     print(f"steady: {dt*1000:.1f} ms/step, {ns.batch/dt:.2f} img/s", file=sys.stderr)
 
-    with jax.profiler.trace(ns.logdir):
-        for _ in range(ns.trace_steps):
-            state, metrics, _ = step(state, imgs, alpha)
-        _ = float(jax.device_get(metrics["L_D"]))
-    print("trace written to", ns.logdir, file=sys.stderr)
+    if ns.trace_steps > 0:
+        with jax.profiler.trace(ns.logdir):
+            for _ in range(ns.trace_steps):
+                state, metrics, _ = step(state, imgs, alpha)
+            _ = float(jax.device_get(metrics["L_D"]))
+        print("trace written to", ns.logdir, file=sys.stderr)
+
+    if ns.json:
+        import json
+        print(json.dumps({
+            "scale": ns.scale, "batch": ns.batch, "loss_mode": ns.loss_mode,
+            "step_ms": round(dt * 1000, 2),
+            "img_s": round(ns.batch / dt, 2),
+            "compiler_options": dict(
+                kv.split("=", 1) for kv in ns.compiler_option),
+        }), flush=True)
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# TPU compiler-flag probe matrix over the two hot scales — the one
+# remaining perf lever BASELINE.md's optimization log had never tried.
+# Rationale: at 256^2 the residual ceiling is fusion/lane-bound conv time
+# (BASELINE "speed-of-light audit"), and at 1024^2 a 22.9 ms/step copy
+# pool remains; scoped-VMEM sizing and the latency-hiding scheduler are
+# the two documented XLA/TPU knobs that change fusion sizing and op
+# overlap without touching program semantics.
+#
+# Flags travel via `jit(compiler_options=...)` (profile_scale
+# --compiler_option): local XLA_FLAGS carries NO TPU flags in this
+# environment (compilation is remote; --xla_tpu_* aborts the process
+# with "Unknown flags"), while compiler_options ship inside the compile
+# request and are validated/applied by the remote compiler.
+#
+# One profile_scale.py process per variant (two same-signature but
+# different-HLO compiles in one process wedge the remote compile service
+# — verify skill), sequential, each bounded by `timeout`. Appends one
+# JSON line per variant; failures record {"variant":..., "error":...}.
+#
+# Usage: tools/run_xla_flag_probes.sh [results_file]
+#        (default evidence/xla_flag_probes.jsonl; needs the real chip idle)
+set -u
+OUT="${1:-evidence/xla_flag_probes.jsonl}"
+mkdir -p "$(dirname "$OUT")"
+
+run() { # run <variant> <scale> <batch> [--compiler_option k=v ...]
+    local variant="$1" scale="$2" batch="$3"; shift 3
+    echo "[flag-probes] s${scale} ${variant}: $* ..." >&2
+    local err="/tmp/flagprobe_${variant}_s${scale}_$$.err"
+    if ! timeout 900 python tools/profile_scale.py \
+            --scale "$scale" --batch "$batch" --trace_steps 0 --json "$@" \
+            >> "$OUT" 2> "$err"; then
+        python - "$variant" "$scale" "$err" <<'EOF' >> "$OUT"
+import json, sys
+err = open(sys.argv[3]).read().strip().splitlines()
+print(json.dumps({"variant": sys.argv[1], "scale": int(sys.argv[2]),
+                  "error": (err[-1] if err else "timeout/no output")[:300]}))
+EOF
+    fi
+    # annotate the variant name onto the JSON line profile_scale emitted
+    python - "$OUT" "$variant" <<'EOF'
+import json, sys
+path, variant = sys.argv[1], sys.argv[2]
+lines = open(path).read().splitlines()
+rec = json.loads(lines[-1])
+rec.setdefault("variant", variant)
+lines[-1] = json.dumps(rec)
+open(path, "w").write("\n".join(lines) + "\n")
+EOF
+    tail -1 "$OUT" >&2
+}
+
+for sc_b in "6 16" "8 8"; do
+    set -- $sc_b
+    run baseline  "$1" "$2"
+    run vmem64m   "$1" "$2" --compiler_option xla_tpu_scoped_vmem_limit_kib=65536
+    run vmem96m   "$1" "$2" --compiler_option xla_tpu_scoped_vmem_limit_kib=98304
+    run lhs_off   "$1" "$2" --compiler_option xla_tpu_enable_latency_hiding_scheduler=false
+done
+echo "[flag-probes] done — $OUT" >&2

@@ -96,6 +96,18 @@ _DEFAULTS: Dict[str, Any] = {
                                       # (`lib/dataset.py:103-108`)
     "cache_decoded": "auto",          # 'auto' | True | False
     "decode_cache_mb": 8192,
+    # out-of-core resized-image store (`data/resized_store.py`): when the
+    # resized-at-scale dataset does NOT fit decode_cache_mb (the
+    # reference's real 37,345-image workload at ≥512², README.md:7), build
+    # a per-scale [N, res, res, 3] uint8 memmap on disk ONCE and read rows
+    # per draw (~100 µs via the page cache vs ~20-50 ms per-draw decode on
+    # this 1-core host). 'auto' engages it exactly in that regime; True
+    # forces it (bypassing the RAM cache); False disables (per-draw decode
+    # fallback). Store files are keyed by (path list, file sizes,
+    # resolution) and reused across runs; builds are resumable.
+    "resized_store": "auto",          # 'auto' | True | False
+    # directory for store files; None → '<save_root>/resized_store'
+    "resized_store_dir": None,
     # device-RESIDENT dataset cache (`data/device_cache.py`): upload the
     # resized-at-scale images to HBM once per scale and assemble batches
     # in-graph — per-step host->device traffic drops from megabytes of

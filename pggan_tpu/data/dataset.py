@@ -96,7 +96,8 @@ class ImageFolderDataset:
                  *, is_master: bool = False, augment: bool = True,
                  paths: Optional[Sequence[str]] = None,
                  use_native: Optional[bool] = None,
-                 cache_decoded="auto", decode_cache_mb: int = 8192):
+                 cache_decoded="auto", decode_cache_mb: int = 8192,
+                 resized_store="auto", store_dir: Optional[str] = None):
         self.paths = list(paths) if paths is not None else list_image_paths(dataset_root_list)
         if not self.paths:
             raise FileNotFoundError(
@@ -120,12 +121,36 @@ class ImageFolderDataset:
             cache = cache_bytes <= int(decode_cache_mb) * (1 << 20)
         else:
             cache = bool(cache_decoded)
+        # Out-of-core tier (data/resized_store.py): when the resized
+        # dataset exceeds the RAM budget — the reference's real 37,345-
+        # image workload at ≥512² (README.md:7) — build/reuse a per-scale
+        # uint8 memmap instead of falling back to per-draw decode.
+        # True forces the store (RAM cache off); 'auto' engages it only
+        # when the RAM cache doesn't fit AND a store_dir is known.
+        self._store = None
+        if resized_store is True:
+            if store_dir is None:
+                raise ValueError("resized_store=true requires "
+                                 "resized_store_dir")
+            cache = False
+        use_store = (resized_store is True
+                     or (resized_store == "auto" and not cache
+                         and store_dir is not None))
         self._cache: Optional[dict] = {} if cache else None
         self._cache_lock = threading.Lock()
+        if use_store:
+            from pggan_tpu.data.resized_store import ResizedStore
+            self._store = ResizedStore(store_dir, self.paths,
+                                       self.resolution,
+                                       self._resize_uncached,
+                                       verbose=is_master)
         if is_master:
             backend = "native" if self._native is not None else "PIL"
             cached = (f", decode cache {cache_bytes / 1e6:.1f} MB"
                       if cache else "")
+            if self._store is not None:
+                cached = (f", resized store "
+                          f"{self._store.nbytes / 1e6:.1f} MB on disk")
             print(f"Dataset of {len(self)} images constructed for the "
                   f"training ({backend} loader{cached}).")
 
@@ -157,6 +182,8 @@ class ImageFolderDataset:
                 with self._cache_lock:
                     arr = self._cache.setdefault(path, arr)
             return arr
+        if self._store is not None:
+            return self._store.read(index)
         return self._resize_uncached(path)
 
     def _warn_fallback(self, path: str):
@@ -170,12 +197,15 @@ class ImageFolderDataset:
 
     def get(self, index: int, rng: np.random.RandomState) -> np.ndarray:
         path = self.paths[index % len(self.paths)]
-        if self._cache is not None:
-            arr = self._cache.get(path)
-            if arr is None:
-                arr = self._resize_uncached(path)
-                with self._cache_lock:       # racing first draws both
-                    arr = self._cache.setdefault(path, arr)  # decode; 1 wins
+        if self._cache is not None or self._store is not None:
+            if self._store is not None:
+                arr = self._store.read(index)
+            else:
+                arr = self._cache.get(path)
+                if arr is None:
+                    arr = self._resize_uncached(path)
+                    with self._cache_lock:       # racing first draws both
+                        arr = self._cache.setdefault(path, arr)  # decode; 1 wins
             if not self.augment:
                 return arr
             if self._native is not None:
@@ -319,13 +349,20 @@ def build_dataset(cfg, scale_index: int, *, is_master: bool = False):
     if backend == "auto":
         backend = "folder" if any(os.path.isdir(r) for r in roots) else "synthetic"
     if backend == "folder":
+        store_dir = (cfg["resized_store_dir"]
+                     if "resized_store_dir" in cfg else None)
+        if store_dir is None and "save_root" in cfg:
+            store_dir = os.path.join(str(cfg.save_root), "resized_store")
         return ImageFolderDataset(
             roots, scale_index, is_master=is_master,
             augment=(bool(cfg["augment"]) if "augment" in cfg else True),
             cache_decoded=(cfg["cache_decoded"]
                            if "cache_decoded" in cfg else "auto"),
             decode_cache_mb=(int(cfg["decode_cache_mb"])
-                             if "decode_cache_mb" in cfg else 8192))
+                             if "decode_cache_mb" in cfg else 8192),
+            resized_store=(cfg["resized_store"]
+                           if "resized_store" in cfg else "auto"),
+            store_dir=store_dir)
     if backend == "synthetic":
         return SyntheticDataset(int(cfg.synthetic_dataset_size), scale_index)
     raise ValueError(f"unknown data backend {backend!r}")

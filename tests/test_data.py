@@ -233,3 +233,126 @@ class TestBuildDataset:
         cfg = Config({"dataset_root_list": [image_dir],
                       "data_backend": "synthetic"})
         assert isinstance(build_dataset(cfg, 0), SyntheticDataset)
+
+
+class TestResizedStore:
+    """Out-of-core memmap tier (data/resized_store.py) — the cache level
+    for the reference's real 37,345-image regime (README.md:7) where the
+    resized dataset exceeds decode_cache_mb."""
+
+    def test_store_draws_match_ram_cache_bitexact(self, image_dir, tmp_path):
+        """The store quantizes at exactly the same point as the RAM cache
+        (uint8 after resize, before jitter), so same-seed draws are
+        bit-identical between the two tiers."""
+        ram = ImageFolderDataset([image_dir], 2, cache_decoded=True)
+        disk = ImageFolderDataset([image_dir], 2, resized_store=True,
+                                  store_dir=str(tmp_path / "store"))
+        assert disk._store is not None and disk._cache is None
+        for i in (0, 3, 8):
+            for seed in (0, 7):
+                np.testing.assert_array_equal(
+                    ram.get(i, np.random.RandomState(seed)),
+                    disk.get(i, np.random.RandomState(seed)))
+        # unaugmented rows too (the device-cache upload path)
+        for i in range(9):
+            np.testing.assert_array_equal(ram.resized_array(i),
+                                          disk.resized_array(i))
+
+    def test_auto_engages_only_past_ram_budget(self, image_dir, tmp_path):
+        store_dir = str(tmp_path / "store")
+        # fits RAM budget -> RAM cache, no store
+        ds = ImageFolderDataset([image_dir], 2, decode_cache_mb=8192,
+                                store_dir=store_dir)
+        assert ds._cache is not None and ds._store is None
+        # over RAM budget (0 MB) -> store
+        ds = ImageFolderDataset([image_dir], 2, decode_cache_mb=0,
+                                store_dir=store_dir)
+        assert ds._cache is None and ds._store is not None
+        # over budget, no store_dir -> per-draw decode fallback
+        ds = ImageFolderDataset([image_dir], 2, decode_cache_mb=0)
+        assert ds._cache is None and ds._store is None
+        # explicitly disabled
+        ds = ImageFolderDataset([image_dir], 2, decode_cache_mb=0,
+                                resized_store=False, store_dir=store_dir)
+        assert ds._store is None
+
+    def test_forced_store_without_dir_raises(self, image_dir):
+        with pytest.raises(ValueError, match="resized_store"):
+            ImageFolderDataset([image_dir], 2, resized_store=True)
+
+    def test_built_once_reused_across_constructions(self, image_dir, tmp_path):
+        from pggan_tpu.data.resized_store import ResizedStore
+        store_dir = str(tmp_path / "store")
+        ds1 = ImageFolderDataset([image_dir], 2, resized_store=True,
+                                 store_dir=store_dir)
+        calls = {"n": 0}
+
+        def counting_decode(path):
+            calls["n"] += 1
+            return ds1._resize_uncached(path)
+
+        st = ResizedStore(store_dir, ds1.paths, ds1.resolution,
+                          counting_decode)
+        assert calls["n"] == 0            # complete store: zero re-decodes
+        np.testing.assert_array_equal(st.read(4), ds1._store.read(4))
+
+    def test_interrupted_build_resumes(self, image_dir, tmp_path):
+        from pggan_tpu.data.resized_store import ResizedStore
+        store_dir = str(tmp_path / "store")
+        probe = ImageFolderDataset([image_dir], 2, cache_decoded=False)
+        paths = probe.paths
+
+        class Boom(RuntimeError):
+            pass
+
+        state = {"rows": 0}
+
+        def flaky_decode(path):
+            if state["rows"] == 5:
+                raise Boom()
+            state["rows"] += 1
+            return probe._resize_uncached(path)
+
+        # force a progress flush every 2 rows so the resume point is real
+        orig_every = ResizedStore.PROGRESS_EVERY
+        ResizedStore.PROGRESS_EVERY = 2
+        try:
+            with pytest.raises(Boom):
+                ResizedStore(store_dir, paths, 16, flaky_decode)
+            done = {"n": 0}
+
+            def counting_decode(path):
+                done["n"] += 1
+                return probe._resize_uncached(path)
+
+            st = ResizedStore(store_dir, paths, 16, counting_decode)
+            # resumed from the last flushed mark (row 4): only 5 of 9 rows
+            # re-decoded, and every row is correct
+            assert done["n"] == len(paths) - 4
+            for i in range(len(paths)):
+                np.testing.assert_array_equal(
+                    st.read(i), probe._resize_uncached(paths[i]))
+        finally:
+            ResizedStore.PROGRESS_EVERY = orig_every
+
+    def test_digest_keys_on_resolution_and_paths(self, image_dir):
+        from pggan_tpu.data.resized_store import paths_digest
+        paths = sorted(list_image_paths([image_dir]))
+        assert paths_digest(paths, 16) != paths_digest(paths, 32)
+        assert paths_digest(paths, 16) != paths_digest(paths[:-1], 16)
+        assert paths_digest(paths, 16) == paths_digest(list(paths), 16)
+
+    def test_build_dataset_wires_store(self, image_dir, tmp_path):
+        cfg = Config({"dataset_root_list": [image_dir],
+                      "decode_cache_mb": 0,
+                      "save_root": str(tmp_path / "run")})
+        ds = build_dataset(cfg, 2)
+        assert ds._store is not None
+        assert str(tmp_path / "run" / "resized_store") in ds._store._data_path
+
+    def test_pipeline_over_store(self, image_dir, tmp_path):
+        ds = ImageFolderDataset([image_dir], 2, resized_store=True,
+                                store_dir=str(tmp_path / "store"))
+        with DataPipeline(ds, batch_size=4, num_workers=2) as pipe:
+            batch = next(pipe)
+        assert batch.shape == (4, 16, 16, 3) and batch.dtype == np.uint8

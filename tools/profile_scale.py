@@ -21,8 +21,13 @@ def main():
     ap.add_argument("--json", action="store_true",
                     help="print one machine-readable JSON line to stdout "
                          "(probe drivers parse this)")
+    def _kv(s):
+        if "=" not in s:
+            raise argparse.ArgumentTypeError(
+                f"--compiler_option needs FLAG=VALUE, got {s!r}")
+        return s
     ap.add_argument("--compiler_option", action="append", default=[],
-                    metavar="FLAG=VALUE",
+                    metavar="FLAG=VALUE", type=_kv,
                     help="XLA compiler option for the step program, e.g. "
                          "xla_tpu_scoped_vmem_limit_kib=65536 (repeatable; "
                          "applied remotely via jit compiler_options — local "
@@ -32,6 +37,8 @@ def main():
     ap.add_argument("--hires_pack", default="auto",
                     help="auto | on | off | <int> (force N packed levels)")
     ns = ap.parse_args()
+
+    compiler_options = dict(kv.split("=", 1) for kv in ns.compiler_option)
 
     import jax, jax.numpy as jnp
     from pggan_tpu.utils.compile_cache import enable_compilation_cache
@@ -54,8 +61,7 @@ def main():
                                          ns.hires_pack).lstrip("-").isdigit()
                                      else int(ns.hires_pack)),
                   "remat": True if ns.remat else "auto",
-                  "compiler_options": dict(
-                      kv.split("=", 1) for kv in ns.compiler_option)})
+                  "compiler_options": compiler_options})
     opt_g, opt_d = make_optimizers(cfg)
 
     @jax.jit
@@ -100,8 +106,7 @@ def main():
             "scale": ns.scale, "batch": ns.batch, "loss_mode": ns.loss_mode,
             "step_ms": round(dt * 1000, 2),
             "img_s": round(ns.batch / dt, 2),
-            "compiler_options": dict(
-                kv.split("=", 1) for kv in ns.compiler_option),
+            "compiler_options": compiler_options,
         }), flush=True)
 
 if __name__ == "__main__":

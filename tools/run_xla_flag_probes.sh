@@ -28,9 +28,21 @@ run() { # run <variant> <scale> <batch> [--compiler_option k=v ...]
     local variant="$1" scale="$2" batch="$3"; shift 3
     echo "[flag-probes] s${scale} ${variant}: $* ..." >&2
     local err="/tmp/flagprobe_${variant}_s${scale}_$$.err"
-    if ! timeout 900 python tools/profile_scale.py \
+    local out="/tmp/flagprobe_${variant}_s${scale}_$$.out"
+    # stdout goes to a temp file and is appended ONLY on rc=0 — a process
+    # that prints its JSON line but then dies (e.g. timeout during
+    # shutdown) must not leave both a success-shaped row and an error row
+    if timeout 900 python tools/profile_scale.py \
             --scale "$scale" --batch "$batch" --trace_steps 0 --json "$@" \
-            >> "$OUT" 2> "$err"; then
+            > "$out" 2> "$err"; then
+        # annotate the variant name onto the emitted JSON line
+        python - "$out" "$variant" <<'EOF' >> "$OUT"
+import json, sys
+rec = json.loads(open(sys.argv[1]).read().splitlines()[-1])
+rec.setdefault("variant", sys.argv[2])
+print(json.dumps(rec))
+EOF
+    else
         python - "$variant" "$scale" "$err" <<'EOF' >> "$OUT"
 import json, sys
 err = open(sys.argv[3]).read().strip().splitlines()
@@ -38,16 +50,7 @@ print(json.dumps({"variant": sys.argv[1], "scale": int(sys.argv[2]),
                   "error": (err[-1] if err else "timeout/no output")[:300]}))
 EOF
     fi
-    # annotate the variant name onto the JSON line profile_scale emitted
-    python - "$OUT" "$variant" <<'EOF'
-import json, sys
-path, variant = sys.argv[1], sys.argv[2]
-lines = open(path).read().splitlines()
-rec = json.loads(lines[-1])
-rec.setdefault("variant", variant)
-lines[-1] = json.dumps(rec)
-open(path, "w").write("\n".join(lines) + "\n")
-EOF
+    rm -f "$out" "$err"
     tail -1 "$OUT" >&2
 }
 

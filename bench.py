@@ -33,7 +33,7 @@ PEAK_BF16_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0,
 
 
 def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,
-                      loss_mode: str = "r1") -> float:
+                      loss_mode: str = "r1", r1_interval: int = 1) -> float:
     """Algorithmic (dense-conv) TFLOPs of one fused D+G train step.
 
     Model-FLOPs convention: counts the reference formulation's MACs×2 —
@@ -78,7 +78,18 @@ def step_model_tflops(depths, scale: int, batch: int, latent_dim: int = 512,
         res = 2 ** (i + 2)
         dd += conv(res, 3, d[i], d[i]) + conv(res, 3, d[i], d[i - 1])
     dd += conv(4, 3, d[0] + 1, d[0]) + 2.0 * batch * (16 * d[0] * d[0] + d[0])
-    d_mult = 14.0 if loss_mode == "wgangp" else 11.0
+    if loss_mode == "wgangp":
+        d_mult = 14.0
+    elif r1_interval > 1:
+        # Lazy R1 (r1-leading windows): the lead step pays the full 11
+        # units, the interval-1 plain steps drop the inner ∇x (1) and the
+        # outer reverse over the [fwd, ∇x] chain (4) but pay the plain
+        # real θ-bwd (2): 11 - 5 + 2 = 8 units. Executed average — lazy
+        # is an ALGORITHMIC saving (fewer passes), not a structural
+        # fusion, so MFU must count what actually runs.
+        d_mult = (11.0 + (r1_interval - 1) * 8.0) / r1_interval
+    else:
+        d_mult = 11.0
     return (4.0 * g + d_mult * dd) / 1e12
 
 
@@ -145,8 +156,9 @@ def main(argv=None):
     from pggan_tpu.models import (init_discriminator_params,
                                   init_generator_params)
     from pggan_tpu.parallel import create_mesh, replicate, shard_batch
-    from pggan_tpu.train.step import (init_train_state, make_optimizers,
-                                      make_train_step)
+    from pggan_tpu.train.step import (init_train_state,
+                                      make_chunked_train_step,
+                                      make_optimizers, make_train_step)
 
     from pggan_tpu.config import default_depths
     depths = default_depths(ns.scale)
@@ -186,45 +198,71 @@ def main(argv=None):
     imgs = shard_batch(imgs, mesh)
     alpha = jnp.float32(ns.alpha)
 
-    step = make_train_step(cfg, scale, opt_g, opt_d)
     lazy = ns.r1_interval > 1 and ns.loss_mode == "r1"
+    if lazy:
+        # Lazy R1's PRODUCTION form: r1-leading dispatch windows (one
+        # compiled program = penalty sub-step ×interval weight + an
+        # (interval-1)-step plain lax.scan tail — trainer._chunk_window).
+        # The runtime-lax.cond alternative was measured SLOWER than
+        # every-step R1 (grad-of-cond union residuals; make_train_step
+        # docstring), so benching it would measure a non-production path.
+        window = make_chunked_train_step(cfg, scale, opt_g, opt_d,
+                                         ns.r1_interval, r1_leading=True)
+        win_batches = [imgs] * ns.r1_interval
 
-    def run(state, i):
-        if lazy:
-            return step(state, imgs, alpha, i % ns.r1_interval == 0)
-        return step(state, imgs, alpha)
+        def run(state, i):
+            return window(state, win_batches, alpha)
+    else:
+        step = make_train_step(cfg, scale, opt_g, opt_d)
+
+        def run(state, i):
+            return step(state, imgs, alpha)
 
     # NOTE: sync via device_get of a metric, NOT block_until_ready — on
     # tunneled backends the ready-signal can resolve before the execution
     # queue drains, and a host transfer is the only reliable barrier.
+    # In lazy mode one dispatch = r1_interval train steps; keep the
+    # measured wall-clock comparable by dispatching ~ns.steps total steps.
+    n_dispatch = max(ns.steps // ns.r1_interval, 4) if lazy else ns.steps
+    steps_per_dispatch = ns.r1_interval if lazy else 1
+
     t0 = time.time()
-    for i in range(max(ns.warmup, 2 if lazy else 1)):
+    for i in range(max(ns.warmup // steps_per_dispatch, 1)):
         state, metrics, _ = run(state, i)
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s; "
           f"L_D={float(jax.device_get(metrics['L_D'])):.3f}", file=sys.stderr)
     _live["ok"] = True          # device answered end-to-end; disarm watchdog
 
     t0 = time.time()
-    for i in range(ns.steps):
+    for i in range(n_dispatch):
         state, metrics, _ = run(state, i)
     final_loss = float(jax.device_get(metrics["L_D"]))   # full-chain barrier
     elapsed = time.time() - t0
     assert np.isfinite(final_loss)
 
-    imgs_per_sec = batch * ns.steps / elapsed
+    n_exec_steps = n_dispatch * steps_per_dispatch
+    imgs_per_sec = batch * n_exec_steps / elapsed
     per_chip = imgs_per_sec / n_chips
     tflops_per_step = step_model_tflops(depths, scale, ns.batch_per_chip,
-                                        loss_mode=ns.loss_mode)
+                                        loss_mode=ns.loss_mode,
+                                        r1_interval=ns.r1_interval)
     # vs_baseline is a SAME-WORKLOAD comparison: the analytic PyTorch-GPU
-    # denominator (BASELINE.md) was calibrated for the r1 step; other loss
-    # modes run strictly more model FLOPs per image (wgangp: D 14 vs 11
-    # pass units), so their denominator scales by the model-FLOP ratio —
-    # the reference GPU would pay the same extra passes.
+    # denominator (BASELINE.md) was calibrated for the r1 step; wgangp
+    # runs strictly more model FLOPs per image (D 14 vs 11 pass units),
+    # so its denominator scales by the model-FLOP ratio — the reference
+    # GPU would pay the same extra passes. Lazy R1 does NOT scale the
+    # denominator: the reference implements only every-step R1
+    # (lib/loss.py:125-135), so its time to equal quality is the
+    # every-step rate; the lazy multiplier is an equal-quality-recipe
+    # comparison and is only quotable WITH the convergence evidence
+    # (BASELINE.md round-5 lazy-R1 section).
+    denom_tflops = step_model_tflops(depths, scale, ns.batch_per_chip,
+                                     loss_mode=ns.loss_mode)
     r1_tflops = step_model_tflops(depths, scale, ns.batch_per_chip,
                                   loss_mode="r1")
     baseline_imgs_per_sec = (PYTORCH_GPU_BASELINE_IMGS_PER_SEC
-                             * r1_tflops / tflops_per_step)
-    step_s = elapsed / ns.steps
+                             * r1_tflops / denom_tflops)
+    step_s = elapsed / n_exec_steps
     kind = devices[0].device_kind.lower().replace(" ", "")
     peak = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind), None)
     # MFU only when the peak is meaningful: a known TPU kind running bf16.
@@ -232,9 +270,10 @@ def main(argv=None):
     # made-up utilization that then reads as a real number in BASELINE.md.)
     mfu = (tflops_per_step / step_s / peak
            if peak is not None and ns.compute_dtype == "bfloat16" else None)
+    mode = ns.loss_mode + (f" lazy-R1/{ns.r1_interval}" if lazy else "")
     result = {
         "metric": f"images/sec/chip, {res}x{res} progressive train step "
-                  f"(fused D+G, {ns.loss_mode}, {ns.compute_dtype})",
+                  f"(fused D+G, {mode}, {ns.compute_dtype})",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / baseline_imgs_per_sec, 2),

@@ -151,7 +151,8 @@ def _compiler_options(cfg):
 def make_train_step(cfg, scale_index: int,
                     opt_g: optax.GradientTransformation,
                     opt_d: optax.GradientTransformation,
-                    *, jit: bool = True, include_r1: Optional[bool] = None):
+                    *, jit: bool = True, include_r1: Optional[bool] = None,
+                    r1_scale: Optional[float] = None):
     """Build the fused step for one progressive scale.
 
     Returns step(state, img_real, alpha) -> (state, metrics, images) where
@@ -171,6 +172,24 @@ def make_train_step(cfg, scale_index: int,
     it is the static twin of the cond's r1 branch, NOT an every-step-R1
     config (that is r1_interval=1). Equivalence with the cond branches is
     tested (tests/test_train_step.py).
+
+    MEASURED (round 5, v5e, 256², batch 16): the cond program is a dead
+    end for PERFORMANCE — 128.4 img/s at interval 16 and 128.3 on pure
+    skip steps vs 136.75 for the every-step parity program. Grad-of-cond
+    gives both branches the UNION of their residual signatures, so the
+    skip branch materializes (zero-filled) r1-branch residuals and saves
+    nothing, while the conditional boundary itself costs ~6%. Production
+    lazy R1 therefore runs through `make_chunked_train_step(...,
+    r1_leading=True)` — the cadence is STRUCTURAL (sub-step 0 applies the
+    penalty, the scanned tail doesn't; no runtime conditional), one
+    program per (scale, window length). The cond path stays as the
+    exact-`global_step % interval` semantics reference and for tests.
+
+    `r1_scale`: penalty multiplier override for the include_r1=True
+    static program (lazy windows scale by the ACTUAL window length k, not
+    the nominal interval, so truncated windows keep the time-average
+    regularization weight exactly γ). None → r1_interval (the cond/static
+    default).
     """
     latent_dim = int(cfg.latent_dim)
     slope = float(cfg.LReLU_slope)
@@ -192,6 +211,7 @@ def make_train_step(cfg, scale_index: int,
     else:
         lazy_r1 = False
         with_r1 = bool(include_r1)
+    _r1_scale = float(r1_scale) if r1_scale is not None else float(r1_interval)
     impl = str(cfg.impl)
     if impl == "auto":      # resolve per backend (Pallas kernels are TPU-only)
         impl = "xla"
@@ -291,7 +311,7 @@ def make_train_step(cfg, scale_index: int,
                     per_sample = jnp.sum(
                         jnp.square(grad_im).reshape(grad_im.shape[0], -1), axis=1)
                     preds = (pred_r, d_fn(img_fake))
-                    return preds, 0.5 * jnp.mean(per_sample) * float(r1_interval)
+                    return preds, 0.5 * jnp.mean(per_sample) * _r1_scale
 
                 def plain_branch(im):
                     if fuse_plain:
@@ -396,7 +416,8 @@ def make_train_step(cfg, scale_index: int,
 def make_chunked_train_step(cfg, scale_index: int,
                             opt_g: optax.GradientTransformation,
                             opt_d: optax.GradientTransformation,
-                            n_steps: int, *, jit: bool = True):
+                            n_steps: int, *, jit: bool = True,
+                            r1_leading: bool = False):
     """`n_steps` fused iterations in ONE dispatched XLA program
     (`lax.scan` over stacked batches) — the in-graph training loop.
 
@@ -418,17 +439,42 @@ def make_chunked_train_step(cfg, scale_index: int,
     body scans over the batch stack; RNG threads through `state.rng`
     exactly as in single-step execution; equivalence is tested).
 
-    Not available with lazy R1 (`r1_interval > 1`): the per-step
-    `apply_r1` phase would make chunk windows cadence-dependent.
+    `r1_leading=True` — the PRODUCTION lazy-R1 path (StyleGAN2 §5.1
+    cadence, arXiv:1912.04958): sub-step 0 runs the include_r1=True
+    static program with the penalty scaled by the ACTUAL window length
+    `n_steps` (time-average regularization weight stays exactly γ even
+    for boundary-truncated windows), sub-steps 1..k-1 run the
+    include_r1=False program under `lax.scan`. The cadence is STRUCTURAL:
+    no runtime conditional, so the plain sub-steps genuinely skip the
+    grad-of-grad work (the cond alternative was measured to skip nothing
+    — see make_train_step). Each distinct window length is its own
+    executable with a distinct input signature ([k,B,H,W,C] batch stack),
+    which also side-steps the remote-compile-service hazard around
+    same-signature/different-HLO programs (verify skill).
+
+    Plain mode (`r1_leading=False`) is unavailable with lazy R1
+    (`r1_interval > 1`): a penalty-free window would break the cadence —
+    the trainer routes lazy runs through r1_leading windows instead.
     """
     if n_steps < 2:
         raise ValueError("chunked step needs n_steps >= 2 (use "
                          "make_train_step for single steps)")
     r1_interval = int(cfg["r1_interval"]) if "r1_interval" in cfg else 1
-    if str(cfg.loss_mode) == "r1" and r1_interval > 1:
+    lazy = str(cfg.loss_mode) == "r1" and r1_interval > 1
+    if r1_leading and not lazy:
+        raise ValueError("r1_leading windows need loss_mode='r1' with "
+                         "r1_interval > 1")
+    if lazy and not r1_leading:
         raise ValueError("steps_per_dispatch > 1 requires r1_interval == 1 "
-                         "(lazy R1 needs per-step host cadence)")
-    base = make_train_step(cfg, scale_index, opt_g, opt_d, jit=False)
+                         "(lazy R1 runs through r1_leading windows)")
+    if r1_leading:
+        lead = make_train_step(cfg, scale_index, opt_g, opt_d, jit=False,
+                               include_r1=True, r1_scale=float(n_steps))
+        base = make_train_step(cfg, scale_index, opt_g, opt_d, jit=False,
+                               include_r1=False)
+    else:
+        lead = None
+        base = make_train_step(cfg, scale_index, opt_g, opt_d, jit=False)
 
     def chunk(state: TrainState, batches, alpha: jax.Array):
         imgs = jnp.stack(list(batches))          # [k, B, H, W, C]
@@ -441,6 +487,15 @@ def make_chunked_train_step(cfg, scale_index: int,
         # action reads them mid-chunk), then run the last step outside the
         # scan so its metrics/images return WITHOUT stacking k full-size
         # image tensors.
+        if lead is not None:
+            state, m0, _ = lead(state, imgs[0], alpha)
+            state, _ = jax.lax.scan(body, state, imgs[1:-1])
+            state, metrics, images = base(state, imgs[-1], alpha)
+            # the window's ONLY penalty evaluation is sub-step 0; surface
+            # it instead of the tail's structural zero
+            metrics = dict(metrics)
+            metrics["L_D_r1"] = m0["L_D_r1"]
+            return state, metrics, images
         state, _ = jax.lax.scan(body, state, imgs[:-1])
         return base(state, imgs[-1], alpha)
 

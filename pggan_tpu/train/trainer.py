@@ -304,8 +304,26 @@ class ProgressiveGANTrainer:
         cfg = self.cfg
         interval = int(cfg["r1_interval"]) if "r1_interval" in cfg else 1
         self._r1_interval = interval if str(cfg.loss_mode) == "r1" else 1
-        self._step_fn = make_train_step(
-            cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
+        # Lazy R1 runs through r1-leading dispatch WINDOWS (StyleGAN2 §5.1
+        # cadence made structural): each window is one compiled program —
+        # sub-step 0 applies the penalty scaled by the window length, the
+        # scanned tail doesn't. Programs are cached per window length
+        # (boundary-truncated windows are shorter; each length is its own
+        # shape-distinct executable). The single-step program for k=1
+        # windows is the include_r1=True static twin at weight ×1 — an
+        # isolated window applies the penalty once at unit weight, keeping
+        # the time-average regularization exactly γ. The runtime-cond
+        # alternative was measured SLOWER than every-step R1 (grad-of-cond
+        # union residuals; make_train_step docstring) — windows are the
+        # production path.
+        self._lazy_chunk_fns = {}
+        if self._r1_interval > 1:
+            self._step_fn = make_train_step(
+                cfg, self.schedule.scale_index, self.opt_g, self.opt_d,
+                include_r1=True, r1_scale=1.0)
+        else:
+            self._step_fn = make_train_step(
+                cfg, self.schedule.scale_index, self.opt_g, self.opt_d)
         # Step chunking (steps_per_dispatch): run k steps per dispatched
         # program inside event-free schedule windows — amortizes the
         # per-step host→device round trip that dominates small scales
@@ -313,15 +331,16 @@ class ProgressiveGANTrainer:
         self._chunk_size = resolve_steps_per_dispatch(
             cfg, self.schedule.scale_index)
         if self._chunk_size > 1 and self._r1_interval > 1:
-            # 'auto' quietly degrades to per-step dispatch (lazy R1 varies
-            # the program across the window); an EXPLICIT request must not
-            # be silently dropped — same error make_chunked_train_step
-            # raises for the combination.
+            # Lazy R1 dispatches its OWN windows (length = r1_interval,
+            # truncated at host-action boundaries — _chunk_window), so an
+            # explicit steps_per_dispatch would be a second, conflicting
+            # window spec; 'auto' quietly defers to the lazy windows, an
+            # EXPLICIT request must not be silently reinterpreted.
             if cfg["steps_per_dispatch"] != "auto":
                 raise ValueError(
                     "steps_per_dispatch > 1 is incompatible with "
-                    "r1_interval > 1 (lazy R1 changes the program "
-                    "within the dispatch window); use "
+                    "r1_interval > 1 (lazy R1 dispatches its own "
+                    "r1_interval-length windows); use "
                     "steps_per_dispatch: auto or r1_interval: 1")
             self._chunk_size = 1
         if self._chunk_size > 1:
@@ -340,12 +359,9 @@ class ProgressiveGANTrainer:
         the periodic sample grid (`pggan/model.py:206-255`)."""
         batch = self.load_next_batch()
         alpha = jnp.float32(self.schedule.alpha)
-        if self._r1_interval > 1:
-            apply_r1 = self.global_step % self._r1_interval == 0
-            self.state, metrics, images = self._step_fn(
-                self.state, batch, alpha, apply_r1)
-        else:
-            self.state, metrics, images = self._step_fn(self.state, batch, alpha)
+        # lazy R1: a single step is a k=1 window — the ×1-weight R1
+        # program (see _build_step_fn); cadence lives in _chunk_window
+        self.state, metrics, images = self._step_fn(self.state, batch, alpha)
         self._last_metrics = metrics
         return images
 
@@ -356,8 +372,16 @@ class ProgressiveGANTrainer:
         between the chunk's steps."""
         batches = [self.load_next_batch() for _ in range(n_steps)]
         alpha = jnp.float32(self.schedule.alpha)
-        self.state, metrics, images = self._chunk_fn(
-            self.state, batches, alpha)
+        if self._r1_interval > 1:
+            fn = self._lazy_chunk_fns.get(n_steps)
+            if fn is None:
+                fn = make_chunked_train_step(
+                    self.cfg, self.schedule.scale_index, self.opt_g,
+                    self.opt_d, n_steps, r1_leading=True)
+                self._lazy_chunk_fns[n_steps] = fn
+        else:
+            fn = self._chunk_fn
+        self.state, metrics, images = fn(self.state, batches, alpha)
         self._last_metrics = metrics
         return images
 
@@ -366,9 +390,25 @@ class ProgressiveGANTrainer:
         host-action boundary — no log/image/validation/FID/checkpoint
         cycle hit, no scale or alpha jump, not past `total` — else 1.
         All-or-nothing (no variable-length chunks): each distinct chunk
-        length would compile its own program."""
-        k = self._chunk_size
-        if self._chunk_fn is None or k < 2 or step + k > total:
+        length would compile its own program.
+
+        Lazy R1 (`r1_interval > 1`) instead uses VARIABLE windows: the
+        window runs from `step` to the first host-action boundary, capped
+        at `r1_interval` — every window leads with the penalty sub-step,
+        scaled ×k, so the cadence is the window structure itself. Distinct
+        lengths DO compile their own programs, but recipe boundary
+        arithmetic keeps the set tiny (e.g. alpha jumps every 50 steps
+        with interval 16 yield k ∈ {16, 1}), and each is persistent-cached.
+        The window function is memoryless in `step`, so a checkpoint
+        resume reproduces the exact window (and therefore cadence)
+        sequence — bit-exact replay holds (tests/test_preemption.py)."""
+        lazy = self._r1_interval > 1
+        k = self._r1_interval if lazy else self._chunk_size
+        if lazy:
+            k = min(k, total - step)
+        elif self._chunk_fn is None or k < 2 or step + k > total:
+            return 1
+        if k < 1:
             return 1
         cfg = self.cfg
         cycles = [int(cfg.loss_cycle), int(cfg.test_cycle),
@@ -379,7 +419,10 @@ class ProgressiveGANTrainer:
                  self.schedule.next_alpha_jump_step)
         for u in range(step, step + k):
             if any(c > 0 and u % c == 0 for c in cycles) or u in jumps:
-                return 1
+                if not lazy:
+                    return 1
+                k = max(u - step, 1)     # truncate at the boundary
+                break
         return k
 
     def fit(self, run_id: Optional[str] = None, *, max_step: Optional[int] = None):

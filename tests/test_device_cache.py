@@ -278,3 +278,43 @@ class TestTrainerIntegration:
                        for v in trainer._last_metrics.values())
         finally:
             trainer.close()
+
+    def test_devcache_lazy_r1_windows_match_host(self, image_dir, tmp_path):
+        """The round-5 production composition — device cache + lazy-R1
+        r1-leading windows (r1_interval > 1) — must train identically to
+        host pipeline + the same lazy windows: with augmentation off the
+        sample stream is bit-exact (TestPipelineStreamParity) and the
+        window structure depends only on (step, cycles, jumps), so both
+        sides dispatch the same programs over the same data."""
+        from pggan_tpu.registry import create_model
+        finals = {}
+        for tag, over in (("hostlazy", {}),
+                          ("devlazy", {"device_data_cache": True})):
+            cfg = Config({
+                "depths": [16, 16], "latent_dim": 32, "batch_per_gpu": 1,
+                "max_step_at_scale": [16, 16],
+                "alpha_jump_start": [-1, 4], "alpha_jump_interval": [0, 2],
+                "alpha_jump_Ntimes": [0, 2],
+                "loss_mode": "r1", "r1_interval": 4,
+                "loss_cycle": 8, "test_cycle": 100, "ckpt_cycle": 100,
+                "fid_cycle": 0, "use_validation": False,
+                "save_root": str(tmp_path / tag),
+                "dataset_root_list": [image_dir], "data_backend": "folder",
+                "augment": False, "num_data_workers": 2, "use_mGPU": True,
+                "seed": 11, **over,
+            })
+            trainer = create_model(cfg)
+            try:
+                trainer.fit(tag, max_step=12)
+                finals[tag] = (jax.device_get(trainer.state.params_G),
+                               jax.device_get(trainer.state.params_D),
+                               trainer._chunks_dispatched,
+                               trainer._device_cache is not None)
+            finally:
+                trainer.close()
+        # both sides dispatch lazy windows; only the input path differs
+        assert finals["hostlazy"][2] > 0 and not finals["hostlazy"][3]
+        assert finals["devlazy"][2] > 0 and finals["devlazy"][3]
+        for a, b in zip(jax.tree_util.tree_leaves(finals["hostlazy"][:2]),
+                        jax.tree_util.tree_leaves(finals["devlazy"][:2])):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

